@@ -1,0 +1,58 @@
+"""Attention dispatch: Pallas flash kernel for long sequences, XLA for tiny kv.
+
+Every attention in the model routes through `dot_product_attention`
+([B, S, H, D] layout, jax.nn convention):
+
+  * spatial self-attention over H*W tokens (4096 .. 9216)  -> Pallas flash
+  * temporal self-attention over F<=16 frames              -> XLA (seq tiny)
+  * cross-attention with 1..5 key tokens                   -> XLA (kv tiny)
+
+Matches the reference semantics of xformers `memory_efficient_attention`
+with default scale 1/sqrt(head_dim) and no bias/mask/dropout
+(reference animation/modules/unet.py:1812-2029).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from stableanimator_tpu.ops.flash_attention import flash_attention
+
+# below this many kv tokens the flash kernel has nothing to win: a single
+# XLA fused softmax-matmul is optimal and avoids kernel-launch overhead.
+_FLASH_MIN_SEQ = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def xla_attention(q, k, v, scale: float | None = None):
+    """Reference-math attention in pure XLA, fp32 softmax. [B, S, H, D]."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(q, k, v, scale: float | None = None,
+                          use_flash: bool | None = None):
+    """Attention over [B, S, H, D] tensors.
+
+    use_flash: True/False forces the path; None auto-selects (flash on TPU
+    for kv >= 1024 tokens).
+    """
+    if use_flash is None:
+        use_flash = _on_tpu() and k.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] >= 128
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(q, k, v, scale=scale)

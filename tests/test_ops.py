@@ -1,0 +1,156 @@
+"""Numerics of the op layer against torch (CPU) oracles.
+
+torch here is a *test oracle only* — the framework itself never imports it.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from stableanimator_tpu.ops import (
+    dot_product_attention,
+    gaussian_blur,
+    group_norm,
+    layer_norm,
+    resize_bicubic_align_corners,
+    upsample_nearest_2x,
+)
+from stableanimator_tpu.ops.attention import xla_attention
+from stableanimator_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+
+
+class TestNorms:
+    def test_group_norm_matches_torch(self):
+        x = _rand(2, 6, 5, 32)  # NHWC
+        scale = _rand(32, seed=1)
+        bias = _rand(32, seed=2)
+        out = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                                    num_groups=8, eps=1e-5))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        ref = F.group_norm(tx, 8, torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_group_norm_5d(self):
+        # video tensors [N, F, H, W, C] — stats per (sample, group) over F,H,W
+        x = _rand(2, 3, 4, 4, 16)
+        scale, bias = np.ones(16, np.float32), np.zeros(16, np.float32)
+        out = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                                    num_groups=4, eps=1e-5))
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # NCFHW
+        ref = F.group_norm(tx, 4, eps=1e-5).permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_layer_norm_matches_torch(self):
+        x = _rand(3, 7, 64)
+        scale = _rand(64, seed=3)
+        bias = _rand(64, seed=4)
+        out = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), eps=1e-5))
+        ref = F.layer_norm(torch.from_numpy(x), (64,), torch.from_numpy(scale),
+                           torch.from_numpy(bias), eps=1e-5).numpy()
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+class TestAttention:
+    def test_xla_attention_matches_torch_sdpa(self):
+        q = _rand(2, 16, 4, 8, seed=0)
+        k = _rand(2, 12, 4, 8, seed=1)
+        v = _rand(2, 12, 4, 8, seed=2)
+        out = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        tq, tk, tv = (torch.from_numpy(t).permute(0, 2, 1, 3) for t in (q, k, v))
+        ref = F.scaled_dot_product_attention(tq, tk, tv).permute(0, 2, 1, 3).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 300), (128, 512)])
+    def test_flash_matches_xla(self, sq, sk):
+        q = jnp.asarray(_rand(1, sq, 2, 64, seed=5))
+        k = jnp.asarray(_rand(1, sk, 2, 64, seed=6))
+        v = jnp.asarray(_rand(1, sk, 2, 64, seed=7))
+        ref = np.asarray(xla_attention(q, k, v))
+        out = np.asarray(flash_attention(q, k, v, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_flash_grads_match_xla(self):
+        q = jnp.asarray(_rand(1, 256, 1, 64, seed=8))
+        k = jnp.asarray(_rand(1, 256, 1, 64, seed=9))
+        v = jnp.asarray(_rand(1, 256, 1, 64, seed=10))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(xla_attention(q, k, v) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                       rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
+
+    def test_dispatcher_small_kv(self):
+        # cross-attention shape: kv of 5 tokens must route through XLA
+        q = jnp.asarray(_rand(2, 64, 4, 16, seed=11))
+        k = jnp.asarray(_rand(2, 5, 4, 16, seed=12))
+        v = jnp.asarray(_rand(2, 5, 4, 16, seed=13))
+        out = dot_product_attention(q, k, v)
+        assert out.shape == q.shape
+
+
+class TestResize:
+    def test_bicubic_align_corners_matches_torch(self):
+        x = _rand(2, 17, 23, 3)
+        out = np.asarray(resize_bicubic_align_corners(jnp.asarray(x), 8, 11))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(tx, size=(8, 11), mode="bicubic", align_corners=True)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_bicubic_upscale_matches_torch(self):
+        x = _rand(1, 8, 8, 2, seed=3)
+        out = np.asarray(resize_bicubic_align_corners(jnp.asarray(x), 24, 24))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(tx, size=(24, 24), mode="bicubic", align_corners=True)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_nearest_2x(self):
+        x = _rand(1, 3, 3, 2)
+        out = np.asarray(upsample_nearest_2x(jnp.asarray(x)))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(tx, scale_factor=2.0, mode="nearest").permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref)
+
+    def test_gaussian_blur_matches_reference_impl(self):
+        """Oracle: a direct torch port of the reference _gaussian_blur2d
+        (reflect pad + separable conv, kornia-style)."""
+        x = _rand(1, 16, 16, 3, seed=7)
+        ks, sigmas = (5, 5), (1.2, 0.8)
+        out = np.asarray(gaussian_blur(jnp.asarray(x), ks, sigmas))
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+
+        def g1d(n, s):
+            xs = torch.arange(n, dtype=torch.float32) - n // 2
+            if n % 2 == 0:
+                xs = xs + 0.5
+            g = torch.exp(-xs**2 / (2 * s**2))
+            return g / g.sum()
+
+        kx, ky = g1d(ks[1], sigmas[1]), g1d(ks[0], sigmas[0])
+        c = tx.shape[1]
+        pad_x = [(ks[1] - 1) // 2, (ks[1] - 1) - (ks[1] - 1) // 2]
+        tmp = F.pad(tx, pad_x + [0, 0], mode="reflect")
+        tmp = F.conv2d(tmp, kx.view(1, 1, 1, -1).expand(c, 1, 1, -1), groups=c)
+        pad_y = [(ks[0] - 1) // 2, (ks[0] - 1) - (ks[0] - 1) // 2]
+        tmp = F.pad(tmp, [0, 0] + pad_y, mode="reflect")
+        ref = F.conv2d(tmp, ky.view(1, 1, -1, 1).expand(c, 1, -1, 1), groups=c)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
