@@ -1,0 +1,264 @@
+"""Spatio-temporal transformer stack with the StableAnimator ID adapter.
+
+Re-expresses (not ports):
+  Attention + processors       reference animation/modules/unet.py:711-825,
+                               1812-2029 (xformers processors become a single
+                               dispatch through ops/attention.py)
+  BasicTransformerBlock        reference unet.py:478-557
+  TemporalBasicTransformerBlock reference unet.py:872-958
+  TransformerSpatioTemporalModel reference unet.py:559-708
+
+The "ID adapter" is the paper's core trick: spatial cross-attention splits
+its context into [CLIP image token | num_id_tokens face tokens], attends to
+both separately (separate id_to_k/id_to_v projections), renormalises the
+face stream to the base stream's mean/std, and adds
+(reference unet.py:1968-2022).
+
+Layouts: spatial tokens [N, H*W, C] with N = batch*frames; temporal tokens
+[B*H*W, F, C]. All attention goes through ops.dot_product_attention which
+routes long sequences to the Pallas flash kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stableanimator_tpu.models.layers import (
+    AlphaBlender,
+    FeedForward,
+    GroupNorm,
+    LayerNorm,
+    TimestepEmbedding,
+    sinusoidal_embedding,
+)
+from stableanimator_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def _unbiased_std(x, axis, keepdims=True):
+    """torch.std semantics (Bessel correction), fp32."""
+    n = 1
+    for a in axis:
+        n *= x.shape[a]
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.sum(jnp.square(x - mean), axis=axis, keepdims=keepdims) / max(n - 1, 1)
+    return jnp.sqrt(var)
+
+
+class Attention(nn.Module):
+    """Multi-head attention: self (context=None) or cross.
+
+    to_q/to_k/to_v have no bias, to_out does
+    (reference unet.py:744-750)."""
+
+    heads: int
+    dim_head: int
+    out_dim: int
+    use_flash: Optional[bool] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        if context is None:
+            context = x
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_v")(context)
+        n, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(n, sq, self.heads, self.dim_head)
+        k = k.reshape(n, sk, self.heads, self.dim_head)
+        v = v.reshape(n, sk, self.heads, self.dim_head)
+        o = dot_product_attention(q, k, v, use_flash=self.use_flash)
+        o = o.reshape(n, sq, inner)
+        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="to_out")(o)
+
+
+class IDCrossAttention(nn.Module):
+    """Dual-stream cross-attention with distribution renormalisation
+    (AnimationIDAttnNormalizedProcessor, reference unet.py:1916-2029).
+
+    context = [base tokens (CLIP image embedding) | num_id_tokens face
+    tokens]; the face stream uses separate id_to_k/id_to_v and is
+    renormalised to the base stream's per-sample mean/std before the add.
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: int
+    num_id_tokens: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context):
+        inner = self.heads * self.dim_head
+        end_pos = context.shape[1] - self.num_id_tokens
+        base_ctx = context[:, :end_pos, :]
+        id_ctx = context[:, end_pos:, :]
+
+        n, sq, _ = x.shape
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_q")(x)
+        q = q.reshape(n, sq, self.heads, self.dim_head)
+
+        def attend(ctx, k_name, v_name):
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=k_name)(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=v_name)(ctx)
+            sk = k.shape[1]
+            k = k.reshape(n, sk, self.heads, self.dim_head)
+            v = v.reshape(n, sk, self.heads, self.dim_head)
+            o = dot_product_attention(q, k, v, use_flash=False)  # kv is tiny
+            return o.reshape(n, sq, inner)
+
+        base = attend(base_ctx, "to_k", "to_v")
+        ident = attend(id_ctx, "id_to_k", "id_to_v")
+
+        # distribution renormalisation (reference unet.py:2018-2022), fp32;
+        # torch.std is unbiased.
+        b32, i32 = base.astype(jnp.float32), ident.astype(jnp.float32)
+        mean_b = jnp.mean(b32, axis=(1, 2), keepdims=True)
+        std_b = _unbiased_std(b32, axis=(1, 2))
+        mean_i = jnp.mean(i32, axis=(1, 2), keepdims=True)
+        std_i = _unbiased_std(i32, axis=(1, 2))
+        ident = ((i32 - mean_i) * (std_b / (std_i + 1e-5)) + mean_b).astype(base.dtype)
+
+        o = base + ident
+        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="to_out")(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Spatial block: self-attn -> ID cross-attn -> GEGLU FF, pre-LN
+    residuals (reference unet.py:478-557)."""
+
+    heads: int
+    dim_head: int
+    num_id_tokens: int = 4
+    use_flash: Optional[bool] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context):
+        dim = x.shape[-1]
+        h = LayerNorm(name="norm1")(x)
+        x = x + Attention(self.heads, self.dim_head, dim, use_flash=self.use_flash,
+                          dtype=self.dtype, name="attn1")(h)
+        h = LayerNorm(name="norm2")(x)
+        x = x + IDCrossAttention(self.heads, self.dim_head, dim,
+                                 num_id_tokens=self.num_id_tokens,
+                                 dtype=self.dtype, name="attn2")(h, context)
+        h = LayerNorm(name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Temporal block over the frame axis (reference unet.py:872-958).
+
+    Input arrives as spatial tokens [N, S, C] (N = B*F); it is transposed to
+    [B*S, F, C], run through ff_in + self-attn over F + cross-attn to the
+    first-frame CLIP token + FF, then transposed back.
+    """
+
+    heads: int
+    dim_head: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, time_context, *, num_frames: int):
+        n, s, c = x.shape
+        b = n // num_frames
+        # [B*F, S, C] -> [B*S, F, C]
+        h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+
+        residual = h
+        h = LayerNorm(name="norm_in")(h)
+        h = FeedForward(dim_out=c, dtype=self.dtype, name="ff_in")(h)
+        h = h + residual
+
+        hn = LayerNorm(name="norm1")(h)
+        h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
+                          dtype=self.dtype, name="attn1")(hn)
+        hn = LayerNorm(name="norm2")(h)
+        h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
+                          dtype=self.dtype, name="attn2")(hn, time_context)
+        hn = LayerNorm(name="norm3")(h)
+        h = h + FeedForward(dtype=self.dtype, name="ff")(hn)
+
+        return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(n, s, c)
+
+
+class TransformerSpatioTemporalModel(nn.Module):
+    """Spatial + temporal transformer pair with frame positional embedding
+    and learned AlphaBlender mix (reference unet.py:559-708).
+
+    Input [N, H, W, C_in] (N = B*F); context [N, 1+num_id_tokens, cross_dim].
+    """
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    num_id_tokens: int = 4
+    use_flash: Optional[bool] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context, *, num_frames: int):
+        n, hh, ww, c_in = x.shape
+        b = n // num_frames
+        inner = self.heads * self.dim_head
+        s = hh * ww
+
+        # time_context: the base (CLIP) tokens of frame 0, broadcast to every
+        # spatial location (reference unet.py:640-654).
+        end_pos = context.shape[1] - self.num_id_tokens
+        time_context = context[:, :end_pos, :]
+        tc_first = time_context.reshape(b, num_frames, end_pos, -1)[:, 0]
+        time_context = jnp.broadcast_to(
+            tc_first[:, None], (b, s, end_pos, tc_first.shape[-1])
+        ).reshape(b * s, end_pos, tc_first.shape[-1])
+
+        residual = x
+        h = GroupNorm(num_groups=32, eps=1e-6, name="norm")(x)
+        h = h.reshape(n, s, c_in)
+        h = nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="proj_in")(h)
+
+        # frame-index positional embedding (reference unet.py:666-677)
+        frame_ids = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), (b,))
+        t_emb = sinusoidal_embedding(frame_ids, c_in).astype(h.dtype)
+        emb = TimestepEmbedding(c_in * 4, out_dim=c_in, dtype=self.dtype,
+                                name="time_pos_embed")(t_emb)
+        emb = emb[:, None, :]
+
+        # one blender shared by all layers (reference unet.py:614,693)
+        time_mixer = AlphaBlender(0.5, name="time_mixer")
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                self.heads, self.dim_head, num_id_tokens=self.num_id_tokens,
+                use_flash=self.use_flash, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, context)
+            h_mix = h + emb
+            h_mix = TemporalBasicTransformerBlock(
+                self.heads, self.dim_head, dtype=self.dtype,
+                name=f"temporal_transformer_blocks_{i}",
+            )(h_mix, time_context, num_frames=num_frames)
+            h = time_mixer(h, h_mix)
+
+        h = nn.Dense(c_in, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="proj_out")(h)
+        h = h.reshape(n, hh, ww, c_in)
+        return h + residual
