@@ -1,0 +1,7 @@
+from stableanimator_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    batch_sharding,
+    video_sharding,
+    shard_params,
+)

@@ -1,0 +1,318 @@
+"""The end-to-end animation pipeline as one jitted program.
+
+Re-expresses reference animation/pipelines/inference_pipeline_animation.py
+(InferenceAnimationPipeline.__call__, :443-710) TPU-first:
+
+  * the 25-step denoising loop is a single lax.scan — no Python-level loop
+    survives compilation (reference: Python for-loop at :642),
+  * classifier-free guidance AND all temporal tiles are batched into ONE
+    UNet call per step (reference: two sequential UNet calls per tile,
+    :663-685) — proved numerically identical in tests/test_models_parity.py,
+  * PoseNet runs once per video, outside the scan (the reference recomputes
+    it every timestep at :661; it is timestep-independent),
+  * the overlap-blend is a static scatter-add with precomputed triangular
+    weights and count normalisation (:654-689),
+  * VAE decode batches the decode chunks instead of looping (:319-357),
+  * scheduler state stays float32; UNet compute is bf16 on TPU.
+
+Inputs/outputs are channels-last numpy/jax arrays; PIL/file handling lives
+in cli/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stableanimator_tpu.core.config import (
+    CLIPVisionConfig,
+    FaceEncoderConfig,
+    PipelineConfig,
+    PoseNetConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from stableanimator_tpu.diffusion.scheduler import (
+    EulerEDMSchedule,
+    make_schedule,
+    scale_model_input,
+    step_euler,
+)
+from stableanimator_tpu.diffusion.tiling import tile_blend_weight, tile_indices
+from stableanimator_tpu.models.clip import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    CLIPVisionModelWithProjection,
+)
+from stableanimator_tpu.models.id_encoder import FusionFaceId
+from stableanimator_tpu.models.pose_net import PoseNet
+from stableanimator_tpu.models.unet import UNetSpatioTemporal
+from stableanimator_tpu.models.vae import AutoencoderKLTemporalDecoder
+from stableanimator_tpu.ops.resize import resize_antialias
+
+
+class AnimationModels(NamedTuple):
+    """Static module definitions (hashable; safe as a jit static arg)."""
+
+    unet: UNetSpatioTemporal
+    vae: AutoencoderKLTemporalDecoder
+    clip: CLIPVisionModelWithProjection
+    pose_net: PoseNet
+    face_encoder: FusionFaceId
+
+
+def build_models(
+    unet_cfg: UNetConfig | None = None,
+    vae_cfg: VAEConfig | None = None,
+    clip_cfg: CLIPVisionConfig | None = None,
+    pose_cfg: PoseNetConfig | None = None,
+    face_cfg: FaceEncoderConfig | None = None,
+    dtype=jnp.bfloat16,
+    use_flash: Optional[bool] = None,
+) -> AnimationModels:
+    return AnimationModels(
+        unet=UNetSpatioTemporal(unet_cfg or UNetConfig(), use_flash=use_flash,
+                                dtype=dtype),
+        vae=AutoencoderKLTemporalDecoder(vae_cfg or VAEConfig(), dtype=dtype),
+        clip=CLIPVisionModelWithProjection(clip_cfg or CLIPVisionConfig(),
+                                           dtype=dtype),
+        pose_net=PoseNet(pose_cfg or PoseNetConfig(), dtype=dtype),
+        face_encoder=FusionFaceId(face_cfg or FaceEncoderConfig(), dtype=dtype),
+    )
+
+
+def init_params(models: AnimationModels, rng, height: int = 64, width: int = 64,
+                num_frames: int = 2) -> dict:
+    """Random-init the full parameter set (tests / training-from-scratch).
+    Real checkpoints come from convert/torch_to_jax.py."""
+    ks = jax.random.split(rng, 5)
+    h8, w8 = height // 8, width // 8
+    ucfg = models.unet.config
+    fcfg = models.face_encoder.config
+    ccfg = models.clip.config
+    unet_p = models.unet.init(
+        ks[0],
+        jnp.zeros((1, num_frames, h8, w8, ucfg.in_channels)),
+        jnp.float32(0.0),
+        jnp.zeros((1, 1 + ucfg.num_id_tokens, ucfg.cross_attention_dim)),
+        jnp.zeros((1, 3)),
+        jnp.zeros((num_frames, h8, w8, ucfg.block_out_channels[0])),
+    )
+    vae_p = models.vae.init(ks[1], jnp.zeros((1, height, width, 3)), num_frames=1)
+    clip_p = models.clip.init(
+        ks[2], jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3)))
+    pose_p = models.pose_net.init(ks[3], jnp.zeros((1, height, width, 3)))
+    face_p = models.face_encoder.init(
+        ks[4], jnp.zeros((1, fcfg.id_embeddings_dim)),
+        jnp.zeros((1, 1, fcfg.clip_embeddings_dim)))
+    return {
+        "unet": unet_p["params"],
+        "vae": vae_p["params"],
+        "clip": clip_p["params"],
+        "pose_net": pose_p["params"],
+        "face_encoder": face_p["params"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# conditioning
+# ---------------------------------------------------------------------------
+
+def encode_conditioning(models: AnimationModels, params, ref_image,
+                        face_embedding, rng, cfg: PipelineConfig):
+    """CLIP + face-ID + VAE reference conditioning.
+
+    ref_image: [1, H, W, 3] float32 in [0, 1]
+    face_embedding: [1, id_dim] ArcFace embedding
+    Returns (context [2, 1+num_id, cross_dim], image_latents [2, h, w, 4],
+    add_time_ids [2, 3]); index 0 is the uncond stream.
+    (reference inference_pipeline_animation.py:520-578)
+    """
+    ccfg = models.clip.config
+    # CLIP branch: antialiased resize in [-1,1], then CLIP normalisation
+    # (reference :202-220)
+    x = ref_image * 2.0 - 1.0
+    x = resize_antialias(x, ccfg.image_size, ccfg.image_size)
+    x = (x + 1.0) / 2.0
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, x.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, x.dtype)
+    clip_embed = models.clip.apply({"params": params["clip"]}, (x - mean) / std)
+    clip_embed = clip_embed[:, None, :].astype(jnp.float32)  # [1, 1, 1024]
+
+    # face tokens (reference :529-540)
+    faceid = models.face_encoder.apply(
+        {"params": params["face_encoder"]},
+        face_embedding.astype(clip_embed.dtype), clip_embed).astype(jnp.float32)
+    cond_ctx = jnp.concatenate([clip_embed, faceid], axis=1)
+    context = jnp.concatenate([jnp.zeros_like(cond_ctx), cond_ctx], axis=0)
+
+    # VAE reference latent with noise augmentation, fp32 encode
+    # (reference :542-566)
+    vae_in = ref_image * 2.0 - 1.0
+    noise = jax.random.normal(rng, vae_in.shape, jnp.float32)
+    vae_in = vae_in + cfg.noise_aug_strength * noise
+    moments = models.vae.apply({"params": params["vae"]}, vae_in,
+                               method=models.vae.encode)
+    lat = moments.mode().astype(jnp.float32)  # [1, h, w, 4]
+    image_latents = jnp.concatenate([jnp.zeros_like(lat), lat], axis=0)
+
+    add_time_ids = jnp.asarray(
+        [[cfg.fps - 1, cfg.motion_bucket_id, cfg.noise_aug_strength]], jnp.float32)
+    add_time_ids = jnp.concatenate([add_time_ids, add_time_ids], axis=0)
+    return context, image_latents, add_time_ids
+
+
+# ---------------------------------------------------------------------------
+# denoising
+# ---------------------------------------------------------------------------
+
+def denoise(models: AnimationModels, params, latents, context, image_latents,
+            add_time_ids, pose_latents, schedule: EulerEDMSchedule,
+            cfg: PipelineConfig):
+    """Scan the Euler steps; CFG and tiles batched into one UNet call.
+
+    latents:       [1, F, h, w, 4] float32 (already scaled by init sigma)
+    context:       [2, 1+num_id, cross_dim]   (0 = uncond)
+    image_latents: [2, h, w, 4]               (0 = uncond = zeros)
+    pose_latents:  [F, h, w, c0]
+    """
+    f = latents.shape[1]
+    tiles = jnp.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap))
+    n_tiles = tiles.shape[0]
+    weights = tile_blend_weight(cfg.tile_size)
+    counts = np.zeros((f,), np.float32)
+    np.add.at(counts, np.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap)).reshape(-1),
+              np.tile(weights, n_tiles))
+    counts_j = jnp.asarray(counts)
+    weights_j = jnp.asarray(weights)
+
+    # per-frame guidance ramp (reference :604-609)
+    guidance = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, f,
+                            dtype=jnp.float32)[None, :, None, None, None]
+
+    # static per-tile conditioning
+    pose_tiles = pose_latents[tiles.reshape(-1)]          # [n*T, h, w, c0]
+    pose_batch = jnp.concatenate(
+        [jnp.zeros_like(pose_tiles), pose_tiles], axis=0)  # uncond gets zeros
+    ctx_batch = jnp.concatenate([
+        jnp.repeat(context[:1], n_tiles, axis=0),
+        jnp.repeat(context[1:], n_tiles, axis=0),
+    ], axis=0)                                             # [2n, 1+id, D]
+    ids_batch = jnp.concatenate([
+        jnp.repeat(add_time_ids[:1], n_tiles, axis=0),
+        jnp.repeat(add_time_ids[1:], n_tiles, axis=0),
+    ], axis=0)                                             # [2n, 3]
+    img_cond = image_latents[1]                            # [h, w, 4]
+
+    def step(lat, i):
+        sigma = schedule.sigmas[i]
+        sigma_next = schedule.sigmas[i + 1]
+        t = schedule.timesteps[i]
+
+        lat_in = scale_model_input(lat, sigma)             # [1, F, h, w, 4]
+        x_tiles = lat_in[0][tiles]                         # [n, T, h, w, 4]
+        tile_shape = x_tiles.shape
+        img_u = jnp.zeros(tile_shape[:-1] + (img_cond.shape[-1],), x_tiles.dtype)
+        img_c = jnp.broadcast_to(img_cond, tile_shape[:-1] + (img_cond.shape[-1],))
+        x_u = jnp.concatenate([x_tiles, img_u], axis=-1)
+        x_c = jnp.concatenate([x_tiles, img_c], axis=-1)
+        batch = jnp.concatenate([x_u, x_c], axis=0)        # [2n, T, h, w, 8]
+
+        out = models.unet.apply(
+            {"params": params["unet"]}, batch, t, ctx_batch, ids_batch,
+            pose_batch,
+        ).astype(jnp.float32)                              # [2n, T, h, w, 4]
+
+        out = out * weights_j[None, :, None, None, None]
+        flat_idx = tiles.reshape(-1)
+
+        def blend(tile_out):                               # [n, T, h, w, 4]
+            acc = jnp.zeros((f,) + tile_out.shape[2:], jnp.float32)
+            acc = acc.at[flat_idx].add(tile_out.reshape((-1,) + tile_out.shape[2:]))
+            return acc / counts_j[:, None, None, None]
+
+        noise_uncond = blend(out[:n_tiles])
+        noise_cond = blend(out[n_tiles:])
+        noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
+        lat = step_euler(noise_pred[None], lat, sigma, sigma_next)
+        return lat, None
+
+    latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))
+    return latents
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig):
+    """Chunked temporal-VAE decode, chunks batched (reference :319-357).
+    latents [1, F, h, w, 4] -> frames [F, H, W, 3] float32 in [0, 1]."""
+    f = latents.shape[1]
+    chunk = cfg.decode_chunk_size
+    if f % chunk != 0:
+        chunk = f  # fall back to one chunk (static decision)
+    z = latents[0] / models.vae.config.scaling_factor
+    frames = models.vae.apply({"params": params["vae"]}, z,
+                              num_frames=chunk, method=models.vae.decode)
+    frames = frames.astype(jnp.float32)
+    return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# full generation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _generate_jit(models, params, ref_image, pose_pixels, face_embedding,
+                  cfg: PipelineConfig, rng):
+    f = pose_pixels.shape[0]
+    rngs = jax.random.split(rng, 3)
+
+    context, image_latents, add_time_ids = encode_conditioning(
+        models, params, ref_image, face_embedding, rngs[0], cfg)
+
+    # pose latents once per video (timestep-independent)
+    pose_latents = models.pose_net.apply(
+        {"params": params["pose_net"]}, pose_pixels).astype(jnp.float32)
+
+    # initial noise: one tile of noise, repeated across the video
+    # (reference :586-597)
+    h8, w8 = ref_image.shape[1] // 8, ref_image.shape[2] // 8
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+    noise = jax.random.normal(rngs[1], (1, cfg.tile_size, h8, w8, 4), jnp.float32)
+    noise = noise * schedule.init_noise_sigma
+    reps = f // cfg.tile_size + 1
+    latents = jnp.tile(noise, (1, reps, 1, 1, 1))[:, :f]
+
+    latents = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule, cfg)
+    return decode_frames(models, params, latents, cfg)
+
+
+def generate(models: AnimationModels, params, ref_image, pose_pixels,
+             face_embedding, cfg: PipelineConfig | None = None, rng=None):
+    """Generate an animation.
+
+    ref_image:      [1, H, W, 3] float32 in [0, 1]
+    pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings)
+    face_embedding: [1, id_dim] ArcFace embedding of the reference face
+    returns frames  [F, H, W, 3] float32 in [0, 1]
+    """
+    cfg = cfg or PipelineConfig()
+    if rng is None:
+        rng = jax.random.PRNGKey(23123134)  # reference seed_everything default
+    cfg = dataclasses.replace(
+        cfg,
+        height=ref_image.shape[1], width=ref_image.shape[2],
+        num_frames=pose_pixels.shape[0],
+        tile_size=min(cfg.tile_size, pose_pixels.shape[0]),
+    )
+    return _generate_jit(models, params, ref_image, pose_pixels,
+                         face_embedding, cfg, rng)
