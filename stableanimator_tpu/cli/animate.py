@@ -1,0 +1,177 @@
+"""Inference CLI — the reference's `inference_basic.py` surface
+(flags mirror inference_basic.py:81-213 / command_basic_infer.sh).
+
+Checkpoints are numpy .npz dumps of the released torch/safetensors weights
+(produced once by tools/dump_torch_checkpoint.py); see
+--checkpoint_dir layout below. Missing checkpoints can be replaced with
+random init via --allow_random_init for smoke runs.
+
+Layout of --checkpoint_dir:
+  unet.npz            StableAnimator unet.pth (or SVD unet + --init_id_adapter)
+  vae.npz             SVD vae
+  image_encoder.npz   SVD image_encoder (CLIP ViT-H)
+  pose_net.npz        StableAnimator pose_net.pth
+  face_encoder.npz    StableAnimator face_encoder.pth
+  antelopev2/scrfd_10g_bnkps.onnx + glintr100.onnx   (face ID)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="StableAnimator-TPU inference")
+    p.add_argument("--checkpoint_dir", type=str, required=True,
+                   help="directory of converted .npz checkpoints (see module docstring)")
+    p.add_argument("--reference_image", type=str, required=True)
+    p.add_argument("--pose_control_folder", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--guidance_scale", type=float, default=3.0)
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--tile_size", type=int, default=16)
+    p.add_argument("--frames_overlap", type=int, default=4)
+    p.add_argument("--noise_aug_strength", type=float, default=0.02)
+    p.add_argument("--decode_chunk_size", type=int, default=4)
+    p.add_argument("--fps", type=int, default=7)
+    p.add_argument("--motion_bucket_id", type=int, default=127)
+    p.add_argument("--seed", type=int, default=23123134)
+    p.add_argument("--allow_random_init", action="store_true",
+                   help="randomly initialise any missing checkpoint (smoke runs)")
+    p.add_argument("--init_id_adapter", action="store_true",
+                   help="initialise id_to_k/id_to_v from SVD to_k/to_v when "
+                        "loading a vanilla SVD unet (reference "
+                        "inference_basic.py:372-377)")
+    return p.parse_args()
+
+
+def load_params(checkpoint_dir: str, models, allow_random_init: bool,
+                init_id_adapter: bool, height: int, width: int):
+    from stableanimator_tpu.convert import (
+        convert_clip_vision,
+        convert_face_encoder,
+        convert_pose_net,
+        convert_unet,
+        convert_vae,
+    )
+    from stableanimator_tpu.convert.torch_to_jax import init_id_adapter_from_svd
+    from stableanimator_tpu.pipeline import init_params
+
+    converters = {
+        "unet": ("unet.npz", convert_unet),
+        "vae": ("vae.npz", convert_vae),
+        "clip": ("image_encoder.npz", convert_clip_vision),
+        "pose_net": ("pose_net.npz", convert_pose_net),
+        "face_encoder": ("face_encoder.npz", convert_face_encoder),
+    }
+    params = None
+    out = {}
+    for key, (fname, fn) in converters.items():
+        path = os.path.join(checkpoint_dir, fname)
+        if os.path.exists(path):
+            converted = fn(dict(np.load(path)))
+            if key == "unet" and init_id_adapter:
+                converted = init_id_adapter_from_svd(converted)
+            out[key] = converted["params"]
+        elif allow_random_init:
+            if params is None:
+                params = init_params(models, jax.random.PRNGKey(0),
+                                     height=height, width=width)
+            print(f"WARNING: {path} missing — using random init for {key}")
+            out[key] = params[key]
+        else:
+            raise FileNotFoundError(
+                f"{path} not found (use tools/dump_torch_checkpoint.py, or "
+                f"--allow_random_init for a smoke run)")
+    return out
+
+
+def main():
+    args = parse_args()
+
+    from stableanimator_tpu.core.config import PipelineConfig
+    from stableanimator_tpu.pipeline import build_models, generate
+    from stableanimator_tpu.preproc.face import FaceModel
+    from stableanimator_tpu.utils.image import (
+        export_to_gif,
+        frames_to_uint8,
+        load_images_from_folder,
+        pil_to_unit_array,
+        poses_to_array,
+        save_frames_as_png,
+    )
+    from PIL import Image
+
+    models = build_models(dtype=jnp.bfloat16)
+    params = load_params(args.checkpoint_dir, models, args.allow_random_init,
+                         args.init_id_adapter, args.height, args.width)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
+    # the VAE must keep fp32 master weights (encode is an fp32 island)
+    if os.path.exists(os.path.join(args.checkpoint_dir, "vae.npz")):
+        from stableanimator_tpu.convert import convert_vae
+        params["vae"] = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_vae(dict(np.load(os.path.join(args.checkpoint_dir, "vae.npz"))))["params"])
+
+    ref_pil = Image.open(args.reference_image).convert("RGB")
+    ref_pil_sized = ref_pil.resize((args.width, args.height))
+    pose_images = load_images_from_folder(args.pose_control_folder,
+                                          width=args.width, height=args.height)
+    print(f"{len(pose_images)} pose frames at {args.width}x{args.height}")
+
+    # face-ID embedding of the reference (reference inference_basic.py:516-535)
+    det_path = os.path.join(args.checkpoint_dir, "antelopev2", "scrfd_10g_bnkps.onnx")
+    rec_path = os.path.join(args.checkpoint_dir, "antelopev2", "glintr100.onnx")
+    if os.path.exists(det_path) and os.path.exists(rec_path):
+        face_model = FaceModel(det_path, rec_path)
+        emb = face_model.get_id_embedding(np.asarray(ref_pil))
+        if emb is None:
+            print("WARNING: no face detected in the reference image; "
+                  "using a zero identity embedding")
+            emb = np.zeros((512,), np.float32)
+    else:
+        print("WARNING: antelopev2 ONNX models missing; using zero identity "
+              "embedding")
+        emb = np.zeros((512,), np.float32)
+
+    cfg = PipelineConfig(
+        height=args.height, width=args.width, num_frames=len(pose_images),
+        tile_size=args.tile_size, tile_overlap=args.frames_overlap,
+        num_inference_steps=args.num_inference_steps,
+        min_guidance_scale=args.guidance_scale,
+        max_guidance_scale=args.guidance_scale,
+        fps=args.fps, motion_bucket_id=args.motion_bucket_id,
+        noise_aug_strength=args.noise_aug_strength,
+        decode_chunk_size=args.decode_chunk_size,
+    )
+
+    t0 = time.time()
+    frames = generate(
+        models, params,
+        jnp.asarray(pil_to_unit_array(ref_pil_sized)),
+        jnp.asarray(poses_to_array(pose_images)),
+        jnp.asarray(emb[None].astype(np.float32)),
+        cfg, rng=jax.random.PRNGKey(args.seed))
+    frames = jax.block_until_ready(frames)
+    print(f"generated {len(pose_images)} frames in {time.time() - t0:.1f}s")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    u8 = frames_to_uint8(np.asarray(frames, np.float32))
+    export_to_gif(u8, os.path.join(args.output_dir, "animation_video.gif"))
+    save_frames_as_png(u8, os.path.join(args.output_dir, "animated_images"))
+    print(f"wrote {args.output_dir}/animation_video.gif")
+
+
+if __name__ == "__main__":
+    main()

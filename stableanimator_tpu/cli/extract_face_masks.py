@@ -1,0 +1,50 @@
+"""Face-mask extraction CLI (reference face_mask_extraction.py:41-85).
+
+Walks an image folder and writes binary face masks to a sibling `faces/`
+folder (idempotent: existing masks are skipped). Masks weight the facial
+region in the training loss (reference README.md:259)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("Human Face Mask Extraction", add_help=True)
+    p.add_argument("--image_folder", type=str, required=True)
+    p.add_argument("--scrfd_onnx", type=str,
+                   default="checkpoints/antelopev2/scrfd_10g_bnkps.onnx")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from stableanimator_tpu.preproc.face import FaceDetector, face_mask
+
+    detector = (FaceDetector(args.scrfd_onnx)
+                if os.path.exists(args.scrfd_onnx) else None)
+    if detector is None:
+        print(f"WARNING: {args.scrfd_onnx} missing; masks fall back to all-white")
+
+    out_dir = os.path.join(os.path.dirname(args.image_folder.rstrip("/")), "faces")
+    os.makedirs(out_dir, exist_ok=True)
+    for root, _, files in os.walk(args.image_folder):
+        for file in sorted(files):
+            if not file.endswith(".png"):
+                continue
+            save_path = os.path.join(out_dir, file)
+            if os.path.exists(save_path):
+                print(f"{save_path} already exists!")
+                continue
+            img = cv2.cvtColor(cv2.imread(os.path.join(root, file)),
+                               cv2.COLOR_BGR2RGB)
+            cv2.imwrite(save_path, face_mask(img, detector))
+            print(f"Finish face Extraction: {save_path}")
+
+
+if __name__ == "__main__":
+    main()

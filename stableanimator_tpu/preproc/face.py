@@ -1,0 +1,174 @@
+"""Face analysis: SCRFD detection, ArcFace identity embedding, face masks.
+
+Replaces the reference's insightface/facexlib dependency (reference
+animation/modules/face_model.py:8-27, face_mask_extraction.py:10-38) with
+the same ONNX models (antelopev2: scrfd_10g_bnkps + glintr100) executed as
+XLA graphs, plus numpy geometry:
+
+  * SCRFD anchor-free decode (strides 8/16/32, 2 anchors/cell,
+    distance2bbox) + NMS — the standard insightface formulation,
+  * 5-point similarity alignment (Umeyama) to the ArcFace 112x112 template,
+  * face-mask extraction with the reference's fallback chain: detector
+    boxes -> all-white mask.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+import jax
+
+# the canonical ArcFace 112x112 5-point template (insightface arcface_dst)
+ARCFACE_DST = np.array(
+    [[38.2946, 51.6963], [73.5318, 51.5014], [56.0252, 71.7366],
+     [41.5493, 92.3655], [70.7299, 92.2041]], dtype=np.float32)
+
+
+def umeyama_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Least-squares similarity transform (rotation+scale+translation)
+    mapping src -> dst; returns a 2x3 matrix. Umeyama (1991)."""
+    src_mean = src.mean(0)
+    dst_mean = dst.mean(0)
+    src_c = src - src_mean
+    dst_c = dst - dst_mean
+    cov = dst_c.T @ src_c / src.shape[0]
+    u, s, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u) * np.linalg.det(vt))
+    diag = np.diag([1.0, d])
+    var_src = (src_c**2).sum() / src.shape[0]
+    scale = np.trace(np.diag(s) @ diag) / var_src
+    rot = u @ diag @ vt
+    t = dst_mean - scale * rot @ src_mean
+    m = np.zeros((2, 3), np.float64)
+    m[:, :2] = scale * rot
+    m[:, 2] = t
+    return m
+
+
+def norm_crop(img: np.ndarray, landmarks5: np.ndarray, size: int = 112) -> np.ndarray:
+    """Align a face to the ArcFace template."""
+    m = umeyama_similarity(landmarks5.astype(np.float64),
+                           ARCFACE_DST * (size / 112.0))
+    return cv2.warpAffine(img, m, (size, size), borderValue=0.0)
+
+
+def _distance2bbox(points, distance):
+    return np.stack([points[:, 0] - distance[:, 0],
+                     points[:, 1] - distance[:, 1],
+                     points[:, 0] + distance[:, 2],
+                     points[:, 1] + distance[:, 3]], axis=-1)
+
+
+def _distance2kps(points, distance):
+    out = []
+    for i in range(0, distance.shape[1], 2):
+        out.append(points[:, 0] + distance[:, i])
+        out.append(points[:, 1] + distance[:, i + 1])
+    return np.stack(out, axis=-1).reshape(len(points), -1, 2)
+
+
+class FaceDetector:
+    """SCRFD with keypoints (e.g. antelopev2/scrfd_10g_bnkps.onnx)."""
+
+    def __init__(self, onnx_path: str, input_size=(640, 640),
+                 det_thresh: float = 0.5, nms_thresh: float = 0.4):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.input_size = input_size
+        self.det_thresh = det_thresh
+        self.nms_thresh = nms_thresh
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self.strides = (8, 16, 32)
+        self.num_anchors = 2
+
+    def __call__(self, image_rgb: np.ndarray):
+        """-> (boxes [N,5] xyxy+score, kps [N,5,2]) in image coordinates."""
+        h0, w0 = image_rgb.shape[:2]
+        in_h, in_w = self.input_size
+        ratio = min(in_h / h0, in_w / w0)
+        nh, nw = int(h0 * ratio), int(w0 * ratio)
+        resized = cv2.resize(image_rgb, (nw, nh))
+        det_img = np.zeros((in_h, in_w, 3), np.uint8)
+        det_img[:nh, :nw] = resized
+        blob = ((det_img.astype(np.float32) - 127.5) / 128.0).transpose(2, 0, 1)
+
+        outputs = [np.asarray(o) for o in self._fn(blob[None])]
+        fmc = len(self.strides)
+        scores_list, bboxes_list, kps_list = [], [], []
+        for idx, stride in enumerate(self.strides):
+            scores = outputs[idx].reshape(-1)
+            bbox_preds = outputs[idx + fmc].reshape(-1, 4) * stride
+            kps_preds = outputs[idx + 2 * fmc].reshape(-1, 10) * stride
+            hgt, wdt = in_h // stride, in_w // stride
+            xv, yv = np.meshgrid(np.arange(wdt), np.arange(hgt))
+            centers = np.stack([xv, yv], axis=-1).reshape(-1, 2).astype(np.float32) * stride
+            centers = np.repeat(centers, self.num_anchors, axis=0)
+            keep = scores >= self.det_thresh
+            scores_list.append(scores[keep])
+            bboxes_list.append(_distance2bbox(centers, bbox_preds)[keep])
+            kps_list.append(_distance2kps(centers, kps_preds)[keep])
+
+        scores = np.concatenate(scores_list)
+        if scores.size == 0:
+            return np.zeros((0, 5), np.float32), np.zeros((0, 5, 2), np.float32)
+        boxes = np.concatenate(bboxes_list) / ratio
+        kps = np.concatenate(kps_list) / ratio
+        order = scores.argsort()[::-1]
+        boxes, kps, scores = boxes[order], kps[order], scores[order]
+
+        from stableanimator_tpu.preproc.detection import nms_single_class
+
+        keep = nms_single_class(boxes, scores, self.nms_thresh)
+        dets = np.concatenate([boxes[keep], scores[keep, None]], axis=1)
+        return dets.astype(np.float32), kps[keep].astype(np.float32)
+
+
+class ArcFaceEncoder:
+    """glintr100 ArcFace recogniser -> 512-d identity embedding."""
+
+    def __init__(self, onnx_path: str, size: int = 112):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.size = size
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+
+    def __call__(self, image_rgb: np.ndarray, landmarks5: np.ndarray) -> np.ndarray:
+        aligned = norm_crop(image_rgb, landmarks5, self.size)
+        blob = ((aligned.astype(np.float32) - 127.5) / 127.5).transpose(2, 0, 1)
+        return np.asarray(self._fn(blob[None])[0])[0]
+
+
+class FaceModel:
+    """Detection + recognition bundle (reference face_model.py:8-27);
+    largest-box selection as in reference inference_basic.py:530-535."""
+
+    def __init__(self, det_onnx_path: str, rec_onnx_path: str):
+        self.detector = FaceDetector(det_onnx_path)
+        self.encoder = ArcFaceEncoder(rec_onnx_path)
+
+    def get_id_embedding(self, image_rgb: np.ndarray) -> Optional[np.ndarray]:
+        dets, kps = self.detector(image_rgb)
+        if len(dets) == 0:
+            return None
+        areas = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+        i = int(np.argmax(areas))
+        return self.encoder(image_rgb, kps[i])
+
+
+def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector]) -> np.ndarray:
+    """Binary face mask: filled detector boxes, else all-255
+    (reference face_mask_extraction.py:10-38)."""
+    h, w = image_rgb.shape[:2]
+    mask = np.zeros((h, w), np.uint8)
+    dets = (detector(image_rgb)[0] if detector is not None
+            else np.zeros((0, 5), np.float32))
+    if len(dets) == 0:
+        mask[:] = 255
+        return mask
+    for box in dets:
+        cv2.rectangle(mask, (int(box[0]), int(box[1])),
+                      (int(box[2]), int(box[3])), 255, thickness=cv2.FILLED)
+    return mask

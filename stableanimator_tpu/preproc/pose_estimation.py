@@ -1,0 +1,113 @@
+"""RTMPose 133-keypoint wholebody estimation (DWPose stage 2).
+
+Re-expresses reference DWPose/dwpose_utils/onnxpose.py: per-box top-down
+affine crop to 192x256, ImageNet normalisation, SimCC argmax decode, and
+rescale back to image coordinates. The network runs as an XLA graph
+(batched over person crops); the affine geometry stays host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+import jax
+
+_MEAN = np.array([123.675, 116.28, 103.53])
+_STD = np.array([58.395, 57.12, 57.375])
+
+
+def bbox_xyxy2cs(bbox: np.ndarray, padding: float = 1.25):
+    """(x1,y1,x2,y2) -> center, scale*padding (reference onnxpose.py:115-146)."""
+    x1, y1, x2, y2 = bbox[:4]
+    center = np.array([(x1 + x2) * 0.5, (y1 + y2) * 0.5])
+    scale = np.array([(x2 - x1) * padding, (y2 - y1) * padding])
+    return center, scale
+
+
+def fix_aspect_ratio(scale: np.ndarray, aspect_ratio: float) -> np.ndarray:
+    w, h = scale
+    if w > h * aspect_ratio:
+        return np.array([w, w / aspect_ratio])
+    return np.array([h * aspect_ratio, h])
+
+
+def _rotate_point(pt, angle_rad):
+    sn, cs = np.sin(angle_rad), np.cos(angle_rad)
+    return np.array([[cs, -sn], [sn, cs]]) @ pt
+
+
+def _third_point(a, b):
+    d = a - b
+    return b + np.array([-d[1], d[0]])
+
+
+def get_warp_matrix(center, scale, rot, output_size):
+    """mmpose top-down affine (reference onnxpose.py:201-252)."""
+    src_w = scale[0]
+    dst_w, dst_h = output_size
+    rot_rad = np.deg2rad(rot)
+    src_dir = _rotate_point(np.array([0.0, src_w * -0.5]), rot_rad)
+    dst_dir = np.array([0.0, dst_w * -0.5])
+    src = np.zeros((3, 2), np.float32)
+    src[0] = center
+    src[1] = center + src_dir
+    src[2] = _third_point(src[0], src[1])
+    dst = np.zeros((3, 2), np.float32)
+    dst[0] = [dst_w * 0.5, dst_h * 0.5]
+    dst[1] = dst[0] + dst_dir
+    dst[2] = _third_point(dst[0], dst[1])
+    return cv2.getAffineTransform(src, dst)
+
+
+def top_down_affine(input_size, scale, center, img):
+    w, h = input_size
+    scale = fix_aspect_ratio(scale, aspect_ratio=w / h)
+    mat = get_warp_matrix(center, scale, 0, (w, h))
+    crop = cv2.warpAffine(img, mat, (int(w), int(h)), flags=cv2.INTER_LINEAR)
+    return crop, scale
+
+
+def simcc_decode(simcc_x: np.ndarray, simcc_y: np.ndarray,
+                 split_ratio: float = 2.0):
+    """SimCC argmax decode (reference onnxpose.py:288-350)."""
+    n, k, _ = simcc_x.shape
+    sx = simcc_x.reshape(n * k, -1)
+    sy = simcc_y.reshape(n * k, -1)
+    locs = np.stack([sx.argmax(1), sy.argmax(1)], axis=-1).astype(np.float32)
+    vals = np.minimum(sx.max(1), sy.max(1))
+    locs[vals <= 0.0] = -1
+    return locs.reshape(n, k, 2) / split_ratio, vals.reshape(n, k)
+
+
+class PoseEstimator:
+    """inference_pose equivalent (reference onnxpose.py:353-359)."""
+
+    def __init__(self, onnx_path: str, input_size: Tuple[int, int] = (192, 256)):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.input_size = input_size  # (w, h)
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+
+    def __call__(self, image_rgb: np.ndarray, bboxes: np.ndarray):
+        h_img, w_img = image_rgb.shape[:2]
+        if len(bboxes) == 0:
+            bboxes = np.array([[0, 0, w_img, h_img]], np.float32)
+        crops, centers, scales = [], [], []
+        for bbox in bboxes:
+            center, scale = bbox_xyxy2cs(np.asarray(bbox, np.float64), padding=1.25)
+            crop, scale = top_down_affine(self.input_size, scale, center, image_rgb)
+            crops.append(((crop - _MEAN) / _STD).transpose(2, 0, 1).astype(np.float32))
+            centers.append(center)
+            scales.append(scale)
+
+        keypoints, scores = [], []
+        for crop, center, scale in zip(crops, centers, scales):
+            simcc_x, simcc_y = self._fn(crop[None])
+            kpts, val = simcc_decode(np.asarray(simcc_x), np.asarray(simcc_y))
+            kpts = kpts / np.asarray(self.input_size) * scale + center - scale / 2
+            keypoints.append(kpts[0])
+            scores.append(val[0])
+        return np.asarray(keypoints), np.asarray(scores)

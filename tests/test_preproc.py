@@ -1,0 +1,258 @@
+"""Preprocessing toolchain tests.
+
+Networks are exercised through tiny torch->ONNX stand-ins with the real
+models' output *structure* (YOLOX grid heads, RTMPose SimCC heads, SCRFD
+anchor heads, ArcFace embedding); geometry/decode/NMS/rendering are tested
+against hand-computed values.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from tests.test_onnx import _export  # reuses the onnx-free exporter shim
+
+from stableanimator_tpu.preproc.detection import (
+    PersonDetector,
+    decode_outputs,
+    multiclass_nms,
+    nms_single_class,
+)
+from stableanimator_tpu.preproc.face import (
+    ARCFACE_DST,
+    FaceDetector,
+    FaceModel,
+    face_mask,
+    umeyama_similarity,
+)
+from stableanimator_tpu.preproc.pose_estimation import (
+    PoseEstimator,
+    bbox_xyxy2cs,
+    fix_aspect_ratio,
+    simcc_decode,
+)
+from stableanimator_tpu.preproc.skeleton_render import (
+    align_to_reference,
+    draw_pose,
+)
+
+
+class TestGeometry:
+    def test_nms_suppresses_overlaps(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], float)
+        scores = np.array([0.9, 0.8, 0.7])
+        keep = nms_single_class(boxes, scores, 0.45)
+        assert keep == [0, 2]
+
+    def test_multiclass_nms_threshold(self):
+        boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], float)
+        scores = np.array([[0.9, 0.05], [0.2, 0.6]])
+        dets = multiclass_nms(boxes, scores, 0.45, 0.3)
+        assert dets.shape == (2, 6)
+        assert set(dets[:, 5]) == {0.0, 1.0}
+
+    def test_yolox_decode(self):
+        # img_size=(32,32): 16 + 4 + 1 = 21 anchors; the first grid cell at
+        # stride 8 with xy offset .5 decodes to center (4,4), exp(log 2)*8=16
+        preds = np.zeros((1, 21, 85), np.float32)
+        preds[0, 0, :2] = 0.5
+        preds[0, 0, 2:4] = np.log(2.0)
+        dec = decode_outputs(preds, (32, 32))
+        np.testing.assert_allclose(dec[0, 0, :2], [4.0, 4.0])
+        np.testing.assert_allclose(dec[0, 0, 2:4], [16.0, 16.0])
+
+    def test_bbox_cs_and_aspect(self):
+        c, s = bbox_xyxy2cs(np.array([0, 0, 100, 50]), padding=1.25)
+        np.testing.assert_allclose(c, [50, 25])
+        np.testing.assert_allclose(s, [125, 62.5])
+        s2 = fix_aspect_ratio(np.array([10.0, 100.0]), 0.75)
+        np.testing.assert_allclose(s2, [75.0, 100.0])
+
+    def test_simcc_decode(self):
+        sx = np.zeros((1, 2, 20), np.float32)
+        sy = np.zeros((1, 2, 30), np.float32)
+        sx[0, 0, 10] = 1.0
+        sy[0, 0, 15] = 0.9
+        sx[0, 1, 3] = -1.0  # max <= 0 -> invalid
+        sy[0, 1, 4] = -1.0
+        locs, vals = simcc_decode(sx, sy, 2.0)
+        np.testing.assert_allclose(locs[0, 0], [5.0, 7.5])
+        assert vals[0, 0] == pytest.approx(0.9)
+        np.testing.assert_allclose(locs[0, 1], [-0.5, -0.5])  # -1 / ratio
+
+    def test_umeyama_recovers_similarity(self):
+        rng = np.random.default_rng(0)
+        src = rng.uniform(0, 100, (5, 2))
+        theta, scale, t = 0.3, 1.7, np.array([5.0, -3.0])
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        dst = scale * src @ rot.T + t
+        m = umeyama_similarity(src, dst)
+        mapped = src @ m[:, :2].T + m[:, 2]
+        np.testing.assert_allclose(mapped, dst, atol=1e-8)
+
+
+class TestRendering:
+    def _pose(self):
+        body = np.array([[0.5, 0.2], [0.5, 0.35], [0.4, 0.35], [0.38, 0.5],
+                         [0.36, 0.65], [0.6, 0.35], [0.62, 0.5], [0.64, 0.65],
+                         [0.45, 0.6], [0.44, 0.8], [0.43, 0.95], [0.55, 0.6],
+                         [0.56, 0.8], [0.57, 0.95], [0.48, 0.18], [0.52, 0.18],
+                         [0.46, 0.19], [0.54, 0.19]])
+        return dict(
+            bodies=dict(candidate=body, subset=np.arange(18, dtype=float)[None],
+                        score=np.full((1, 18), 0.9)),
+            hands=np.full((2, 21, 2), 0.3), hands_score=np.full((2, 21), 0.8),
+            faces=np.full((1, 68, 2), 0.5), faces_score=np.full((1, 68), 0.7),
+        )
+
+    def test_draw_pose_shape_and_content(self):
+        img = draw_pose(self._pose(), 128, 96)
+        assert img.shape == (3, 128, 96)
+        assert img.dtype == np.uint8
+        assert img.max() > 0  # something was drawn
+
+    def test_align_to_reference_identity(self):
+        """Aligning a pose set to itself must be (nearly) the identity map."""
+        pose = self._pose()
+        import copy
+
+        detected = [copy.deepcopy(pose), copy.deepcopy(pose)]
+        before = detected[0]["bodies"]["candidate"].copy()
+        align_to_reference(detected, copy.deepcopy(pose), 128, 96)
+        np.testing.assert_allclose(detected[0]["bodies"]["candidate"], before,
+                                   atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# network wiring through tiny ONNX stand-ins
+# ---------------------------------------------------------------------------
+
+class _YoloxStandin(nn.Module):
+    """Produces [1, A, 85] with the YOLOX grid layout for a 64x64 input."""
+
+    def __init__(self):
+        super().__init__()
+        self.h8 = nn.Conv2d(3, 85, 8, stride=8)
+        self.h16 = nn.Conv2d(3, 85, 16, stride=16)
+        self.h32 = nn.Conv2d(3, 85, 32, stride=32)
+
+    def forward(self, x):
+        outs = []
+        for head in (self.h8, self.h16, self.h32):
+            y = head(x)
+            outs.append(y.flatten(2).transpose(1, 2))
+        return torch.cat(outs, dim=1)
+
+
+class TestDetectors:
+    def test_person_detector_runs(self, tmp_path):
+        torch.manual_seed(0)
+        path = _export(tmp_path, _YoloxStandin(), (torch.randn(1, 3, 64, 64),))
+        det = PersonDetector(path, input_size=(64, 64))
+        img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        boxes = det(img, score_thr=-10.0, final_thr=-10.0)
+        assert boxes.ndim == 2 and boxes.shape[1] == 4
+
+    def test_pose_estimator_runs(self, tmp_path):
+        torch.manual_seed(1)
+
+        class RtmStandin(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Conv2d(3, 8, 16, stride=16)
+                self.fx = nn.Linear(8 * 4 * 3, 133 * 96)
+                self.fy = nn.Linear(8 * 4 * 3, 133 * 128)
+
+            def forward(self, x):
+                y = self.conv(x).flatten(1)
+                return (self.fx(y).reshape(-1, 133, 96),
+                        self.fy(y).reshape(-1, 133, 128))
+
+        path = _export(tmp_path, RtmStandin(), (torch.randn(1, 3, 64, 48),))
+        est = PoseEstimator(path, input_size=(48, 64))
+        img = np.random.default_rng(1).integers(0, 255, (96, 72, 3), dtype=np.uint8)
+        kpts, scores = est(img, np.array([[10, 10, 60, 90]], np.float32))
+        assert kpts.shape == (1, 133, 2)
+        assert scores.shape == (1, 133)
+
+    def test_scrfd_and_arcface(self, tmp_path):
+        torch.manual_seed(2)
+
+        class ScrfdStandin(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.heads = nn.ModuleList([
+                    nn.Conv2d(3, 2 * (1 + 4 + 10), s, stride=s) for s in (8, 16, 32)])
+
+            def forward(self, x):
+                outs_s, outs_b, outs_k = [], [], []
+                for head in self.heads:
+                    y = head(x)  # [1, 30, h, w]
+                    b, c, hh, ww = y.shape
+                    y = y.reshape(1, 2, 15, hh, ww).permute(0, 3, 4, 1, 2)
+                    y = y.reshape(1, hh * ww * 2, 15)
+                    outs_s.append(y[..., :1].sigmoid().reshape(-1, 1))
+                    outs_b.append(y[..., 1:5].abs().reshape(-1, 4))
+                    outs_k.append(y[..., 5:].reshape(-1, 10))
+                return tuple(outs_s) + tuple(outs_b) + tuple(outs_k)
+
+        det_path = _export(tmp_path, ScrfdStandin(), (torch.randn(1, 3, 64, 64),),
+                           name="scrfd.onnx")
+        det = FaceDetector(det_path, input_size=(64, 64), det_thresh=0.4)
+        img = np.random.default_rng(2).integers(0, 255, (80, 80, 3), dtype=np.uint8)
+        boxes, kps = det(img)
+        assert boxes.ndim == 2 and boxes.shape[1] == 5
+        assert kps.shape[1:] == (5, 2)
+
+        class ArcStandin(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Conv2d(3, 4, 16, stride=16)
+                self.fc = nn.Linear(4 * 7 * 7, 512)
+
+            def forward(self, x):
+                return self.fc(self.conv(x).flatten(1))
+
+        rec_path = _export(tmp_path, ArcStandin(), (torch.randn(1, 3, 112, 112),),
+                           name="arc.onnx")
+        model = FaceModel(det_path, rec_path)
+        model.detector = det  # use the 64x64 stand-in geometry
+        emb = model.get_id_embedding(img)
+        if emb is not None:
+            assert emb.shape == (512,)
+
+    def test_face_mask_fallback(self):
+        img = np.zeros((32, 32, 3), np.uint8)
+        mask = face_mask(img, None)
+        assert (mask == 255).all()
+
+
+class TestNativeRaster:
+    def test_native_matches_cv2_primitives(self):
+        import cv2
+        from stableanimator_tpu.preproc import native_raster as nr
+
+        if not nr.available():
+            pytest.skip("native raster not built (no toolchain)")
+        c1 = np.zeros((96, 96, 3), np.uint8)
+        c2 = c1.copy()
+        poly = cv2.ellipse2Poly((48, 46), (15, 4), 25, 0, 360, 1)
+        cv2.fillConvexPoly(c1, poly, (200, 100, 50))
+        nr.fill_rotated_ellipse(c2, 48, 46, 15, 4, 25, (200, 100, 50))
+        m1, m2 = (c1 > 0).any(-1), (c2 > 0).any(-1)
+        assert (m1 & m2).sum() / (m1 | m2).sum() > 0.9
+
+    def test_native_draw_pose_close_to_cv2(self):
+        from stableanimator_tpu.preproc import native_raster as nr
+
+        if not nr.available():
+            pytest.skip("native raster not built")
+        pose = TestRendering()._pose()
+        a = draw_pose(pose, 128, 96, backend="cv2")
+        b = draw_pose(pose, 128, 96, backend="native")
+        assert a.shape == b.shape
+        ma, mb = (a > 0).any(0), (b > 0).any(0)
+        iou = (ma & mb).sum() / max((ma | mb).sum(), 1)
+        assert iou > 0.85, f"native/cv2 render IoU {iou:.3f}"
