@@ -45,20 +45,24 @@ def main():
     pose = jnp.full((f, h, w, 3), -1.0, jnp.float32)
     face = jnp.zeros((1, 512), jnp.float32)
 
+    def run(key):
+        out = generate(models, params, ref_image, pose, face, cfg,
+                       rng=jax.random.PRNGKey(key))
+        # On the remote (axon) platform block_until_ready does not wait for
+        # execution; fetching a derived scalar is the only true sync. The
+        # extra mean() and RTT add ~0.2s of noise to a multi-second e2e.
+        return float(jnp.mean(out))
+
     # warmup / compile
     t0 = time.time()
-    out = generate(models, params, ref_image, pose, face, cfg,
-                   rng=jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    checksum = run(1)
     compile_s = time.time() - t0
 
     # timed steady-state runs
     times = []
     for i in range(3):
         t0 = time.time()
-        out = generate(models, params, ref_image, pose, face, cfg,
-                       rng=jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out)
+        run(2 + i)
         times.append(time.time() - t0)
     e2e = min(times)
     fps = f / e2e
@@ -73,6 +77,7 @@ def main():
             "all_runs_s": [round(t, 3) for t in times],
             "compile_plus_first_run_s": round(compile_s, 1),
             "param_init_s": round(init_s, 1),
+            "output_checksum": checksum,
             "device": str(jax.devices()[0]),
         },
     }))

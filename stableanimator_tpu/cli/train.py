@@ -86,7 +86,8 @@ def main():
                           num_frames=args.sample_n_frames)
 
     models = build_models(
-        dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else None)
+        dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else None,
+        remat=args.gradient_checkpointing)
     params = load_params(args.checkpoint_dir, models, args.allow_random_init,
                          init_id_adapter=not args.finetune_mode,
                          height=args.dataset_height, width=args.dataset_width)
@@ -127,6 +128,37 @@ def main():
     batch_sharding = NamedSharding(mesh, P("data"))
     rng = jax.random.PRNGKey(args.seed)
 
+    def run_validation(step: int):
+        """Generate a validation clip with the current weights (the
+        reference's --validation_steps hook; command_train.sh:7-9,20)."""
+        if not (args.validation_image and args.validation_control_folder):
+            return
+        from PIL import Image
+
+        from stableanimator_tpu.pipeline import generate
+        from stableanimator_tpu.core.config import PipelineConfig as PC
+        from stableanimator_tpu.utils.image import (
+            export_to_gif, frames_to_uint8, load_images_from_folder,
+            pil_to_unit_array, poses_to_array)
+
+        ref = Image.open(args.validation_image).convert("RGB").resize(
+            (args.dataset_width, args.dataset_height))
+        poses = load_images_from_folder(args.validation_control_folder,
+                                        args.dataset_width, args.dataset_height)
+        val_cfg = PC(height=args.dataset_height, width=args.dataset_width,
+                     num_frames=len(poses),
+                     tile_size=min(16, len(poses)), tile_overlap=4)
+        val_params = {**{k: state.params[k] for k in state.params},
+                      **{k: state.frozen[k] for k in state.frozen}}
+        frames = generate(models, val_params,
+                          jnp.asarray(pil_to_unit_array(ref)),
+                          jnp.asarray(poses_to_array(poses)),
+                          jnp.zeros((1, 512), jnp.float32),
+                          val_cfg, rng=jax.random.PRNGKey(cfg.seed))
+        out = os.path.join(args.output_dir, f"validation_step_{step}.gif")
+        export_to_gif(frames_to_uint8(np.asarray(frames, np.float32)), out)
+        print(f"validation clip -> {out}")
+
     max_steps = args.max_train_steps or args.num_train_epochs * 1000
     t0 = time.time()
     while int(state.step) < max_steps:
@@ -140,6 +172,8 @@ def main():
             dt = time.time() - t0
             print(f"step {step}: loss={loss:.4f} grad_norm={gn:.3f} "
                   f"({dt / max(step, 1):.2f}s/step)")
+        if step % cfg.validation_steps == 0:
+            run_validation(step)
         if step % cfg.checkpointing_steps == 0:
             mgr.save(step, {"params": state.params,
                             "opt_state": state.opt_state, "step": state.step})

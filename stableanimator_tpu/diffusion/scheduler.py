@@ -86,9 +86,15 @@ def pred_original_sample(model_output, sample, sigma):
 
 def step_euler(model_output, sample, sigma, sigma_next):
     """One Euler step x_t -> x_{t-1}; returns same dtype as `sample`."""
-    s = sample.astype(jnp.float32)
     x0 = pred_original_sample(model_output, sample, sigma)
-    derivative = (s - x0) / sigma
+    return step_euler_from_x0(x0, sample, sigma, sigma_next)
+
+
+def step_euler_from_x0(x0, sample, sigma, sigma_next):
+    """Euler step expressed via the predicted clean sample (used by the HJB
+    face-optimisation path, which edits x0_hat before integrating)."""
+    s = sample.astype(jnp.float32)
+    derivative = (s - x0.astype(jnp.float32)) / sigma
     dt = sigma_next - sigma
     return (s + derivative * dt).astype(sample.dtype)
 

@@ -48,6 +48,7 @@ class CrossAttnDownBlock(nn.Module):
 
     out_channels: int
     heads: int
+    num_frames: int
     num_layers: int = 2
     transformer_layers: int = 1
     num_id_tokens: int = 4
@@ -56,7 +57,8 @@ class CrossAttnDownBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, temb, context, *, num_frames: int):
+    def __call__(self, x, temb, context):
+        num_frames = self.num_frames
         states = []
         for i in range(self.num_layers):
             x = SpatioTemporalResBlock(
@@ -82,11 +84,13 @@ class DownBlock(nn.Module):
     level (reference unet.py:1169-1211, resnet eps 1e-5)."""
 
     out_channels: int
+    num_frames: int
     num_layers: int = 2
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, temb, *, num_frames: int):
+    def __call__(self, x, temb):
+        num_frames = self.num_frames
         states = []
         for i in range(self.num_layers):
             x = SpatioTemporalResBlock(
@@ -103,13 +107,15 @@ class MidBlock(nn.Module):
 
     channels: int
     heads: int
+    num_frames: int
     transformer_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, temb, context, *, num_frames: int):
+    def __call__(self, x, temb, context):
+        num_frames = self.num_frames
         x = SpatioTemporalResBlock(self.channels, eps=1e-5, merge_factor=0.5,
                                    dtype=self.dtype, name="resnets_0")(
             x, temb, num_frames=num_frames)
@@ -130,14 +136,16 @@ class UpBlock(nn.Module):
     override the block's default)."""
 
     out_channels: int
+    num_frames: int
     num_layers: int = 3
     add_upsample: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, skips, temb, *, num_frames: int):
+    def __call__(self, x, skips, temb):
+        num_frames = self.num_frames
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = jnp.concatenate([x, skips[self.num_layers - 1 - i]], axis=-1)
             x = SpatioTemporalResBlock(
                 self.out_channels, eps=1e-6, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
@@ -154,6 +162,7 @@ class CrossAttnUpBlock(nn.Module):
 
     out_channels: int
     heads: int
+    num_frames: int
     num_layers: int = 3
     transformer_layers: int = 1
     num_id_tokens: int = 4
@@ -162,9 +171,10 @@ class CrossAttnUpBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, skips, temb, context, *, num_frames: int):
+    def __call__(self, x, skips, temb, context):
+        num_frames = self.num_frames
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = jnp.concatenate([x, skips[self.num_layers - 1 - i]], axis=-1)
             x = SpatioTemporalResBlock(
                 self.out_channels, eps=1e-6, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
@@ -195,12 +205,18 @@ class UNetSpatioTemporal(nn.Module):
 
     config: UNetConfig
     use_flash: Optional[bool] = None
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, sample, timestep, context, added_time_ids,
                  pose_latents=None):
         cfg = self.config
+
+        # gradient checkpointing at the block boundary (the reference's
+        # enable_gradient_checkpointing; inference_basic.py:480-481)
+        def maybe_remat(cls):
+            return nn.remat(cls, prevent_cse=False) if self.remat else cls
         b, f, hh, ww, _ = sample.shape
 
         # 1. time + added-conditioning embeddings (fp32 islands; reference
@@ -231,50 +247,52 @@ class UNetSpatioTemporal(nn.Module):
         # 3. down path
         for i, block_type in enumerate(cfg.down_block_types):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                x, states = CrossAttnDownBlock(
-                    cfg.block_out_channels[i], cfg.num_attention_heads[i],
+                x, states = maybe_remat(CrossAttnDownBlock)(
+                    cfg.block_out_channels[i], cfg.num_attention_heads[i], f,
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens,
                     add_downsample=i < len(cfg.block_out_channels) - 1,
                     use_flash=self.use_flash, dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(x, emb, context, num_frames=f)
+                )(x, emb, context)
             elif block_type == "DownBlockSpatioTemporal":
-                x, states = DownBlock(
-                    cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
+                x, states = maybe_remat(DownBlock)(
+                    cfg.block_out_channels[i], f,
+                    num_layers=cfg.layers_per_block,
                     dtype=self.dtype, name=f"down_blocks_{i}",
-                )(x, emb, num_frames=f)
+                )(x, emb)
             else:
                 raise ValueError(block_type)
             skips.extend(states)
 
         # 4. mid
-        x = MidBlock(cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
-                     transformer_layers=cfg.transformer_layers_per_block,
-                     num_id_tokens=cfg.num_id_tokens, use_flash=self.use_flash,
-                     dtype=self.dtype, name="mid_block")(
-            x, emb, context, num_frames=f)
+        x = maybe_remat(MidBlock)(
+            cfg.block_out_channels[-1], cfg.num_attention_heads[-1], f,
+            transformer_layers=cfg.transformer_layers_per_block,
+            num_id_tokens=cfg.num_id_tokens, use_flash=self.use_flash,
+            dtype=self.dtype, name="mid_block")(x, emb, context)
 
         # 5. up path (reversed channel order; reference unet.py:133-168)
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_heads = list(reversed(cfg.num_attention_heads))
+        n_up = cfg.layers_per_block + 1
         for i, block_type in enumerate(cfg.up_block_types):
             add_up = i < len(cfg.block_out_channels) - 1
+            block_skips = tuple(skips[-n_up:])
+            del skips[-n_up:]
             if block_type == "UpBlockSpatioTemporal":
-                x = UpBlock(rev_channels[i], num_layers=cfg.layers_per_block + 1,
-                            add_upsample=add_up, dtype=self.dtype,
-                            name=f"up_blocks_{i}")(
-                    x, skips, emb, num_frames=f)
+                x = maybe_remat(UpBlock)(
+                    rev_channels[i], f, num_layers=n_up,
+                    add_upsample=add_up, dtype=self.dtype,
+                    name=f"up_blocks_{i}")(x, block_skips, emb)
             elif block_type == "CrossAttnUpBlockSpatioTemporal":
-                x = CrossAttnUpBlock(
-                    rev_channels[i], rev_heads[i],
-                    num_layers=cfg.layers_per_block + 1,
+                x = maybe_remat(CrossAttnUpBlock)(
+                    rev_channels[i], rev_heads[i], f, num_layers=n_up,
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens, add_upsample=add_up,
                     use_flash=self.use_flash, dtype=self.dtype,
-                    name=f"up_blocks_{i}")(
-                    x, skips, emb, context, num_frames=f)
+                    name=f"up_blocks_{i}")(x, block_skips, emb, context)
             else:
                 raise ValueError(block_type)
 

@@ -75,10 +75,11 @@ def build_models(
     face_cfg: FaceEncoderConfig | None = None,
     dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
+    remat: bool = False,
 ) -> AnimationModels:
     return AnimationModels(
         unet=UNetSpatioTemporal(unet_cfg or UNetConfig(), use_flash=use_flash,
-                                dtype=dtype),
+                                remat=remat, dtype=dtype),
         vae=AutoencoderKLTemporalDecoder(vae_cfg or VAEConfig(), dtype=dtype),
         clip=CLIPVisionModelWithProjection(clip_cfg or CLIPVisionConfig(),
                                            dtype=dtype),
@@ -174,13 +175,15 @@ def encode_conditioning(models: AnimationModels, params, ref_image,
 
 def denoise(models: AnimationModels, params, latents, context, image_latents,
             add_time_ids, pose_latents, schedule: EulerEDMSchedule,
-            cfg: PipelineConfig):
+            cfg: PipelineConfig, face_opt=None):
     """Scan the Euler steps; CFG and tiles batched into one UNet call.
 
     latents:       [1, F, h, w, 4] float32 (already scaled by init sigma)
     context:       [2, 1+num_id, cross_dim]   (0 = uncond)
     image_latents: [2, h, w, 4]               (0 = uncond = zeros)
     pose_latents:  [F, h, w, c0]
+    face_opt:      optional pipeline.face_opt.FaceOptimizer — runs the HJB
+                   identity-refinement inner solver on x0_hat each step.
     """
     f = latents.shape[1]
     tiles = jnp.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap))
@@ -240,7 +243,17 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
         noise_uncond = blend(out[:n_tiles])
         noise_cond = blend(out[n_tiles:])
         noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
-        lat = step_euler(noise_pred[None], lat, sigma, sigma_next)
+        if face_opt is not None and face_opt.cfg.steps > 0:
+            from stableanimator_tpu.diffusion.scheduler import (
+                pred_original_sample,
+                step_euler_from_x0,
+            )
+
+            x0 = pred_original_sample(noise_pred[None], lat, sigma)
+            x0 = face_opt.refine(x0, i)
+            lat = step_euler_from_x0(x0, lat, sigma, sigma_next)
+        else:
+            lat = step_euler(noise_pred[None], lat, sigma, sigma_next)
         return lat, None
 
     latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))
@@ -269,9 +282,8 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig)
 # full generation
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _generate_jit(models, params, ref_image, pose_pixels, face_embedding,
-                  cfg: PipelineConfig, rng):
+def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
+                   cfg: PipelineConfig, rng, face_opt=None):
     f = pose_pixels.shape[0]
     rngs = jax.random.split(rng, 3)
 
@@ -292,17 +304,23 @@ def _generate_jit(models, params, ref_image, pose_pixels, face_embedding,
     latents = jnp.tile(noise, (1, reps, 1, 1, 1))[:, :f]
 
     latents = denoise(models, params, latents, context, image_latents,
-                      add_time_ids, pose_latents, schedule, cfg)
+                      add_time_ids, pose_latents, schedule, cfg,
+                      face_opt=face_opt)
     return decode_frames(models, params, latents, cfg)
 
 
+_generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5))
+
+
 def generate(models: AnimationModels, params, ref_image, pose_pixels,
-             face_embedding, cfg: PipelineConfig | None = None, rng=None):
+             face_embedding, cfg: PipelineConfig | None = None, rng=None,
+             face_opt=None):
     """Generate an animation.
 
     ref_image:      [1, H, W, 3] float32 in [0, 1]
     pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings)
     face_embedding: [1, id_dim] ArcFace embedding of the reference face
+    face_opt:       optional FaceOptimizer (HJB identity refinement)
     returns frames  [F, H, W, 3] float32 in [0, 1]
     """
     cfg = cfg or PipelineConfig()
@@ -314,5 +332,10 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
         num_frames=pose_pixels.shape[0],
         tile_size=min(cfg.tile_size, pose_pixels.shape[0]),
     )
+    if face_opt is not None:
+        # the optimizer carries callables; jit a closure over it (one-off)
+        fn = jax.jit(functools.partial(_generate_impl, models, face_opt=face_opt),
+                     static_argnums=(4,))  # cfg (models is bound by partial)
+        return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
     return _generate_jit(models, params, ref_image, pose_pixels,
                          face_embedding, cfg, rng)

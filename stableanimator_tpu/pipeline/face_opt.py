@@ -1,0 +1,135 @@
+"""HJB face optimization: inference-time identity refinement.
+
+The StableAnimator paper (arXiv:2411.17697) describes a
+Hamilton-Jacobi-Bellman-based face optimization that the reference repo
+never shipped (its README lists the inference code as an unreleased to-do —
+reference README.md:59). This module implements the capability from the
+paper's formulation:
+
+Treat denoising as an optimal-control problem: the state is the predicted
+clean latent x0_hat, the running cost is face-identity dissimilarity
+c(x0) = 1 - cos(ArcFace(decode(x0)_face), e_ref), and the HJB-optimal
+control direction for a quadratic control penalty is the negative value-
+function gradient. Along the EDM probability-flow ODE this reduces to
+gradient steps on x0_hat before the Euler update uses it:
+
+    x0* = x0_hat - lr * d c(x0_hat) / d x0_hat        (n_steps times)
+    x_{t-1} = x_t + (x_t - x0*) / sigma * (sigma_next - sigma)
+
+The similarity gradient is exact: the VAE temporal decoder and the ArcFace
+recogniser both run inside JAX (the ONNX->JAX executor is differentiable),
+so d(similarity)/d(latents) backpropagates through the real recogniser —
+no surrogate. Only a per-frame face crop of the latent is decoded
+(convolutional decoder => local receptive field), keeping the inner loop
+cheap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stableanimator_tpu.ops.resize import resize_bicubic_align_corners
+
+
+@dataclass(frozen=True)
+class FaceOptConfig:
+    """Static inner-solver configuration (hashable; part of the jit key)."""
+
+    steps: int = 0            # gradient steps per denoise step; 0 disables
+    lr: float = 0.1
+    start_step: int = 8       # first denoise step to optimise (face must
+    end_step: int = 10_000    # have formed enough to carry identity)
+    latent_crop: int = 16     # latent-space crop size (x8 pixels)
+    arcface_size: int = 112
+
+
+class FaceOptimizer:
+    """Bundles the differentiable pieces the inner solver needs.
+
+    arcface_fn: callable [N, 3, S, S] (pixels in [-1, 1]) -> [N, D]
+                embeddings; typically a jitted OnnxFunction of glintr100.
+    decode_fn:  callable (latents [F, h, w, 4], num_frames) -> frames
+                [F, H, W, 3] in [-1, 1]; a partial of the VAE decoder apply.
+    """
+
+    def __init__(self, cfg: FaceOptConfig, arcface_fn: Callable,
+                 decode_fn: Callable, target_embedding, face_boxes):
+        self.cfg = cfg
+        self.arcface_fn = arcface_fn
+        self.decode_fn = decode_fn
+        # [D] reference identity embedding, l2-normalised
+        t = jnp.asarray(target_embedding, jnp.float32).reshape(-1)
+        self.target = t / (jnp.linalg.norm(t) + 1e-8)
+        # [F, 2] int32 top-left (y, x) of each frame's face crop in latent
+        # coordinates (from the driving pose's face keypoints)
+        self.face_boxes = jnp.asarray(face_boxes, jnp.int32)
+
+    def identity_cost(self, x0_latents):
+        """1 - mean cosine similarity over frames. x0_latents [1, F, h, w, 4]
+        in the *scaled* latent space (x 0.18215)."""
+        cfg = self.cfg
+        lat = x0_latents[0]
+        f, h, w, c = lat.shape
+        crop = cfg.latent_crop
+
+        def crop_one(frame, box):
+            y = jnp.clip(box[0], 0, h - crop)
+            x = jnp.clip(box[1], 0, w - crop)
+            return jax.lax.dynamic_slice(frame, (y, x, 0), (crop, crop, c))
+
+        crops = jax.vmap(crop_one)(lat, self.face_boxes)      # [F, crop, crop, 4]
+        faces = self.decode_fn(crops, f)                      # [F, 8c, 8c, 3]
+        faces = jnp.clip(faces.astype(jnp.float32), -1.0, 1.0)
+        faces = resize_bicubic_align_corners(faces, cfg.arcface_size,
+                                             cfg.arcface_size)
+        emb = self.arcface_fn(jnp.transpose(faces, (0, 3, 1, 2)))
+        if isinstance(emb, (tuple, list)):
+            emb = emb[0]
+        emb = emb.astype(jnp.float32)
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        sim = jnp.mean(emb @ self.target)
+        return 1.0 - sim
+
+    def refine(self, x0_latents, step_index):
+        """HJB inner solver: gradient steps on x0_hat, gated to
+        [start_step, end_step)."""
+        cfg = self.cfg
+        if cfg.steps <= 0:
+            return x0_latents
+
+        grad_fn = jax.grad(self.identity_cost)
+
+        def body(_, x0):
+            return x0 - cfg.lr * grad_fn(x0)
+
+        def run(x0):
+            return jax.lax.fori_loop(0, cfg.steps, body, x0)
+
+        active = jnp.logical_and(step_index >= cfg.start_step,
+                                 step_index < cfg.end_step)
+        return jax.lax.cond(active, run, lambda x0: x0, x0_latents)
+
+
+def face_boxes_from_pose(faces_keypoints, latent_h: int, latent_w: int,
+                         crop: int = 16):
+    """Per-frame latent-space face-crop top-lefts from normalised DWPose
+    face landmarks [F, 68, 2] (x, y in [0, 1]); host-side numpy."""
+    import numpy as np
+
+    faces = np.asarray(faces_keypoints)
+    boxes = []
+    for lmks in faces:
+        valid = lmks[(lmks[:, 0] > 0.01) & (lmks[:, 1] > 0.01)]
+        if len(valid) == 0:
+            cy, cx = latent_h // 2, latent_w // 2
+        else:
+            cx = float(valid[:, 0].mean()) * latent_w
+            cy = float(valid[:, 1].mean()) * latent_h
+        y = int(np.clip(round(cy - crop / 2), 0, max(latent_h - crop, 0)))
+        x = int(np.clip(round(cx - crop / 2), 0, max(latent_w - crop, 0)))
+        boxes.append((y, x))
+    return np.asarray(boxes, np.int32)
