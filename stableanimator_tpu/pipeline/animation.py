@@ -175,7 +175,7 @@ def encode_conditioning(models: AnimationModels, params, ref_image,
 
 def denoise(models: AnimationModels, params, latents, context, image_latents,
             add_time_ids, pose_latents, schedule: EulerEDMSchedule,
-            cfg: PipelineConfig, face_opt=None):
+            cfg: PipelineConfig, face_opt=None, mesh=None):
     """Scan the Euler steps; CFG and tiles batched into one UNet call.
 
     latents:       [1, F, h, w, 4] float32 (already scaled by init sigma)
@@ -184,6 +184,9 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
     pose_latents:  [F, h, w, c0]
     face_opt:      optional pipeline.face_opt.FaceOptimizer — runs the HJB
                    identity-refinement inner solver on x0_hat each step.
+    mesh:          optional jax.sharding.Mesh — shards the UNet batch
+                   (CFG x tiles) over "data" and the tile frame axis over
+                   "frame"; GSPMD inserts the cross-frame collectives.
     """
     f = latents.shape[1]
     tiles = jnp.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap))
@@ -226,6 +229,11 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
         x_u = jnp.concatenate([x_tiles, img_u], axis=-1)
         x_c = jnp.concatenate([x_tiles, img_c], axis=-1)
         batch = jnp.concatenate([x_u, x_c], axis=0)        # [2n, T, h, w, 8]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P("data", "frame")))
 
         out = models.unet.apply(
             {"params": params["unet"]}, batch, t, ctx_batch, ids_batch,
@@ -264,14 +272,22 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
 # decode
 # ---------------------------------------------------------------------------
 
-def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig):
-    """Chunked temporal-VAE decode, chunks batched (reference :319-357).
+def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
+                  mesh=None):
+    """Chunked temporal-VAE decode, chunks batched (reference :319-357);
+    with a mesh the chunk batch shards over all devices (frame-parallel
+    decode replacing the reference's serial chunk loop).
     latents [1, F, h, w, 4] -> frames [F, H, W, 3] float32 in [0, 1]."""
     f = latents.shape[1]
     chunk = cfg.decode_chunk_size
     if f % chunk != 0:
         chunk = f  # fall back to one chunk (static decision)
     z = latents[0] / models.vae.config.scaling_factor
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        z = jax.lax.with_sharding_constraint(
+            z, NamedSharding(mesh, P(("data", "frame"))))
     frames = models.vae.apply({"params": params["vae"]}, z,
                               num_frames=chunk, method=models.vae.decode)
     frames = frames.astype(jnp.float32)
@@ -283,7 +299,7 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig)
 # ---------------------------------------------------------------------------
 
 def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
-                   cfg: PipelineConfig, rng, face_opt=None):
+                   cfg: PipelineConfig, rng, face_opt=None, mesh=None):
     f = pose_pixels.shape[0]
     rngs = jax.random.split(rng, 3)
 
@@ -305,22 +321,24 @@ def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
 
     latents = denoise(models, params, latents, context, image_latents,
                       add_time_ids, pose_latents, schedule, cfg,
-                      face_opt=face_opt)
-    return decode_frames(models, params, latents, cfg)
+                      face_opt=face_opt, mesh=mesh)
+    return decode_frames(models, params, latents, cfg, mesh=mesh)
 
 
-_generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5))
+_generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5, 7, 8))
 
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,
              face_embedding, cfg: PipelineConfig | None = None, rng=None,
-             face_opt=None):
+             face_opt=None, mesh=None):
     """Generate an animation.
 
     ref_image:      [1, H, W, 3] float32 in [0, 1]
     pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings)
     face_embedding: [1, id_dim] ArcFace embedding of the reference face
     face_opt:       optional FaceOptimizer (HJB identity refinement)
+    mesh:           optional Mesh for multi-chip (data x frame) inference;
+                    put params on the mesh (parallel.shard_params) first
     returns frames  [F, H, W, 3] float32 in [0, 1]
     """
     cfg = cfg or PipelineConfig()
@@ -333,9 +351,11 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
         tile_size=min(cfg.tile_size, pose_pixels.shape[0]),
     )
     if face_opt is not None:
-        # the optimizer carries callables; jit a closure over it (one-off)
-        fn = jax.jit(functools.partial(_generate_impl, models, face_opt=face_opt),
+        # the optimizer carries traced arrays + callables; jit a closure
+        # over it (one-off compilation per optimizer instance)
+        fn = jax.jit(functools.partial(_generate_impl, models,
+                                       face_opt=face_opt, mesh=mesh),
                      static_argnums=(4,))  # cfg (models is bound by partial)
         return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
     return _generate_jit(models, params, ref_image, pose_pixels,
-                         face_embedding, cfg, rng)
+                         face_embedding, cfg, rng, None, mesh)

@@ -158,6 +158,28 @@ class FaceModel:
         return self.encoder(image_rgb, kps[i])
 
 
+class FaceParser:
+    """BiSeNet face parsing (the reference loads facexlib's bisenet model
+    into FaceModel: reference face_model.py:19-26). Runs any bisenet.onnx
+    through the XLA executor; returns the per-pixel class map at 512x512.
+    Classes follow the CelebAMask-HQ convention (0=bg, 1=skin, ...)."""
+
+    def __init__(self, onnx_path: str, size: int = 512):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.size = size
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+
+    def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
+        img = cv2.resize(image_rgb, (self.size, self.size)).astype(np.float32)
+        img = img / 255.0
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        blob = ((img - mean) / std).transpose(2, 0, 1)
+        out = np.asarray(self._fn(blob[None])[0])
+        return out[0].argmax(0).astype(np.uint8)
+
+
 def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector]) -> np.ndarray:
     """Binary face mask: filled detector boxes, else all-255
     (reference face_mask_extraction.py:10-38)."""

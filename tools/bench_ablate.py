@@ -8,6 +8,11 @@ attention kernels in isolation. Guides the performance pass.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
@@ -54,16 +59,22 @@ def main():
         for s, heads in ((h8 * h8, 5), ((h8 // 2) ** 2, 10)):
             q = jnp.ones((b * f, s, heads, 64), jnp.bfloat16)
 
+            @jax.jit
             def run_flash(q):
-                return sync(flash_attention(q, q, q))
+                return flash_attention(q, q, q)
 
-            def run_xla(q):
-                return sync(xla_attention(q, q, q))
+            @jax.jit
+            def run_xla_chunked(q):
+                # chunk the batch so the fp32 logits fit (the full UNet
+                # avoids this path via flash)
+                outs = [xla_attention(q[i:i + 4], q[i:i + 4], q[i:i + 4])
+                        for i in range(0, q.shape[0], 4)]
+                return jnp.concatenate(outs)
 
-            tf_ = timeit(run_flash, q)
-            tx = timeit(run_xla, q)
+            tf_ = timeit(lambda q: sync(run_flash(q)), q)
+            tx = timeit(lambda q: sync(run_xla_chunked(q)), q)
             print(f"attn seq={s} heads={heads} bh={b*f*heads}: "
-                  f"flash={tf_*1e3:.1f}ms xla={tx*1e3:.1f}ms")
+                  f"flash={tf_*1e3:.1f}ms xla={tx*1e3:.1f}ms", flush=True)
 
     if "unet" in what:
         cfg = UNetConfig()
@@ -84,7 +95,7 @@ def main():
                 return model.apply(p, s, jnp.float32(0.5), ctx, ids, pose)
 
             t = timeit(lambda s: sync(fwd(params, s)), sample)
-            print(f"unet fwd (b={b} f={f} latent={h8}) flash={flash}: {t:.3f}s")
+            print(f"unet fwd (b={b} f={f} latent={h8}) flash={flash}: {t:.3f}s", flush=True)
 
     if "vae" in what:
         vcfg = VAEConfig()
@@ -98,7 +109,7 @@ def main():
             return vae.apply(p, z, num_frames=4, method=vae.decode)
 
         t = timeit(lambda z: sync(dec(vp, z)), z)
-        print(f"vae decode ({f} frames @ {args.height}): {t:.3f}s")
+        print(f"vae decode ({f} frames @ {args.height}): {t:.3f}s", flush=True)
 
         x = jnp.zeros((1, args.height, args.height, 3), jnp.float32)
 

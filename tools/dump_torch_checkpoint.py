@@ -15,6 +15,11 @@ Then build Flax params (no torch needed):
   params = convert_unet(dict(np.load("svd_unet.npz")))
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
