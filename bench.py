@@ -21,6 +21,11 @@ BASELINE_FRAMES_PER_SEC = 450.0 / 300.0  # reference README.md:367
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from stableanimator_tpu.core.config import PipelineConfig
     from stableanimator_tpu.pipeline import build_models, generate, init_params
 

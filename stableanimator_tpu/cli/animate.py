@@ -47,6 +47,14 @@ def parse_args():
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--allow_random_init", action="store_true",
                    help="randomly initialise any missing checkpoint (smoke runs)")
+    p.add_argument("--face_channel_order", type=str, default="reference",
+                   choices=["reference", "standard"],
+                   help="'reference' replicates the reference's channel-"
+                        "swap quirk (cv2.imread BGR + RGB2BGR = RGB fed to "
+                        "insightface, whose nets then see swapped channels; "
+                        "inference_basic.py:517-519) — the released "
+                        "checkpoints were trained against it. 'standard' "
+                        "feeds the recogniser correctly-ordered RGB.")
     p.add_argument("--init_id_adapter", action="store_true",
                    help="initialise id_to_k/id_to_v from SVD to_k/to_v when "
                         "loading a vanilla SVD unet (reference "
@@ -98,6 +106,10 @@ def load_params(checkpoint_dir: str, models, allow_random_init: bool,
 def main():
     args = parse_args()
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from stableanimator_tpu.core.config import PipelineConfig
     from stableanimator_tpu.pipeline import build_models, generate
     from stableanimator_tpu.preproc.face import FaceModel
@@ -135,7 +147,10 @@ def main():
     rec_path = os.path.join(args.checkpoint_dir, "antelopev2", "glintr100.onnx")
     if os.path.exists(det_path) and os.path.exists(rec_path):
         face_model = FaceModel(det_path, rec_path)
-        emb = face_model.get_id_embedding(np.asarray(ref_pil))
+        face_input = np.asarray(ref_pil)
+        if args.face_channel_order == "reference":
+            face_input = face_input[..., ::-1]
+        emb = face_model.get_id_embedding(face_input)
         if emb is None:
             print("WARNING: no face detected in the reference image; "
                   "using a zero identity embedding")
@@ -162,7 +177,10 @@ def main():
         jnp.asarray(pil_to_unit_array(ref_pil_sized)),
         jnp.asarray(poses_to_array(pose_images)),
         jnp.asarray(emb[None].astype(np.float32)),
-        cfg, rng=jax.random.PRNGKey(args.seed))
+        cfg, rng=jax.random.PRNGKey(args.seed),
+        # CLIP conditions on the original-resolution image (reference
+        # inference_pipeline_animation.py:520)
+        clip_image=jnp.asarray(pil_to_unit_array(ref_pil)))
     frames = jax.block_until_ready(frames)
     print(f"generated {len(pose_images)} frames in {time.time() - t0:.1f}s")
 

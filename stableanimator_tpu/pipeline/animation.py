@@ -126,10 +126,14 @@ def init_params(models: AnimationModels, rng, height: int = 64, width: int = 64,
 # ---------------------------------------------------------------------------
 
 def encode_conditioning(models: AnimationModels, params, ref_image,
-                        face_embedding, rng, cfg: PipelineConfig):
+                        face_embedding, rng, cfg: PipelineConfig,
+                        clip_image=None):
     """CLIP + face-ID + VAE reference conditioning.
 
-    ref_image: [1, H, W, 3] float32 in [0, 1]
+    ref_image: [1, H, W, 3] float32 in [0, 1] at the generation resolution
+    clip_image: optional [1, H0, W0, 3] in [0, 1] for the CLIP branch — the
+      reference feeds CLIP the *original-size* image while the VAE branch
+      gets the resized one (inference_pipeline_animation.py:520 vs :542)
     face_embedding: [1, id_dim] ArcFace embedding
     Returns (context [2, 1+num_id, cross_dim], image_latents [2, h, w, 4],
     add_time_ids [2, 3]); index 0 is the uncond stream.
@@ -138,7 +142,7 @@ def encode_conditioning(models: AnimationModels, params, ref_image,
     ccfg = models.clip.config
     # CLIP branch: antialiased resize in [-1,1], then CLIP normalisation
     # (reference :202-220)
-    x = ref_image * 2.0 - 1.0
+    x = (clip_image if clip_image is not None else ref_image) * 2.0 - 1.0
     x = resize_antialias(x, ccfg.image_size, ccfg.image_size)
     x = (x + 1.0) / 2.0
     mean = jnp.asarray(CLIP_IMAGE_MEAN, x.dtype)
@@ -299,12 +303,14 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
 # ---------------------------------------------------------------------------
 
 def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
-                   cfg: PipelineConfig, rng, face_opt=None, mesh=None):
+                   cfg: PipelineConfig, rng, face_opt=None, mesh=None,
+                   clip_image=None):
     f = pose_pixels.shape[0]
     rngs = jax.random.split(rng, 3)
 
     context, image_latents, add_time_ids = encode_conditioning(
-        models, params, ref_image, face_embedding, rngs[0], cfg)
+        models, params, ref_image, face_embedding, rngs[0], cfg,
+        clip_image=clip_image)
 
     # pose latents once per video (timestep-independent)
     pose_latents = models.pose_net.apply(
@@ -330,10 +336,12 @@ _generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5, 7, 8))
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,
              face_embedding, cfg: PipelineConfig | None = None, rng=None,
-             face_opt=None, mesh=None):
+             face_opt=None, mesh=None, clip_image=None):
     """Generate an animation.
 
-    ref_image:      [1, H, W, 3] float32 in [0, 1]
+    ref_image:      [1, H, W, 3] float32 in [0, 1] (generation resolution)
+    clip_image:     optional original-resolution [1, H0, W0, 3] for the
+                    CLIP branch (the reference's behaviour)
     pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings)
     face_embedding: [1, id_dim] ArcFace embedding of the reference face
     face_opt:       optional FaceOptimizer (HJB identity refinement)
@@ -354,8 +362,9 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
         # the optimizer carries traced arrays + callables; jit a closure
         # over it (one-off compilation per optimizer instance)
         fn = jax.jit(functools.partial(_generate_impl, models,
-                                       face_opt=face_opt, mesh=mesh),
+                                       face_opt=face_opt, mesh=mesh,
+                                       clip_image=clip_image),
                      static_argnums=(4,))  # cfg (models is bound by partial)
         return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
     return _generate_jit(models, params, ref_image, pose_pixels,
-                         face_embedding, cfg, rng, None, mesh)
+                         face_embedding, cfg, rng, None, mesh, clip_image)
