@@ -63,6 +63,7 @@ def main():
     from stableanimator_tpu.train.data import (
         AnimationDataset,
         MixedResolutionSampler,
+        PrefetchLoader,
         read_path_list,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -122,6 +123,8 @@ def main():
         vec = AnimationDataset(read_path_list(args.vec_data_path),
                                cfg.sample_n_frames, 576, 1024, seed=args.seed)
     sampler = MixedResolutionSampler(rec, vec, seed=args.seed)
+    loader = PrefetchLoader(sampler, global_batch,
+                            num_workers=max(1, args.num_workers // 2))
 
     step_fn = make_train_step(models, tx, cfg, pipe,
                               conditioning_dropout_prob=args.conditioning_dropout_prob)
@@ -162,7 +165,7 @@ def main():
     max_steps = args.max_train_steps or args.num_train_epochs * 1000
     t0 = time.time()
     while int(state.step) < max_steps:
-        batch = sampler.batch(global_batch)
+        batch = loader.next()
         batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
         state, metrics = step_fn(state, batch, rng)
         step = int(state.step)

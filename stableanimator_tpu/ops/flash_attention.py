@@ -1,24 +1,24 @@
-"""Pallas TPU flash-attention (forward) kernel.
+"""Pallas TPU flash-attention kernel.
 
 Replaces the reference's xformers CUDA `memory_efficient_attention`
 (reference animation/modules/unet.py:1841,1900,1990,2010) for the hot
 spatial self-attention: sequences of H*W tokens (4096 at 512^2, 9216 at
 576x1024) with head_dim 64.
 
-Design:
-  * grid over (batch*heads, q-blocks); each program holds its q block plus
-    the full K/V for that (batch, head) in VMEM (<= ~2.5 MB at 9216x64 bf16)
-    and streams K/V in `block_k` chunks through the MXU with an online
-    softmax (running max / normaliser), accumulating in float32.
-  * arbitrary (non-multiple) sequence lengths handled by zero-padding plus
-    an iota mask on the key axis.
-  * no attention bias / mask / dropout — the model never uses them
-    (reference unet.py:823 asserts attention_mask is None).
+Design (informed by device profiles):
+  * operates directly on the model's [B, S, H, D] layout — the grid maps
+    (batch, head, q-block) and BlockSpecs slice the head axis, so no
+    transposes are materialised around the kernel (transpose copies were
+    ~9% of UNet device time),
+  * K/V for one (batch, head) live in VMEM (<= ~2.5 MB at 9216x64 bf16)
+    and stream through the MXU in `block_k` chunks with an online softmax,
+  * probabilities are cast back to the input dtype for the P.V matmul
+    (fp32 matmuls run at half MXU rate); accumulation stays fp32,
+  * arbitrary sequence lengths via zero-padding + iota masks,
+  * no bias/mask/dropout — the model never uses them (unet.py:823).
 
-The backward pass is provided via jax.custom_vjp: dq/dk/dv are computed by
-Pallas kernels that recompute the probabilities blockwise (flash-attention-2
-style), so the [S, S] matrix is never materialised in HBM in either
-direction.
+Backward (training) uses flash-2-style blockwise-recompute kernels through
+a custom VJP; dq/dk/dv never materialise the [S, S] matrix either.
 """
 
 from __future__ import annotations
@@ -41,94 +41,141 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len, kv_pad):
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
-    block_q, d = q.shape
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_blocks(q_len: int, kv_len: int):
+    # block_q 256 keeps the per-head fp32 score tile at 1 MB so the fused
+    # forward kernel (full K/V resident in VMEM) stays under the 16 MB
+    # scoped-vmem limit at seq 4096 x H*D 320.
+    block_q = min(256, _round_up(q_len, 128))
+    block_k = min(1024, _round_up(kv_len, 128))
+    return block_q, block_k
+
+
+def _head_softmax(q, k_ref, v_ref, hi, d, *, block_k, kv_len, kv_pad):
+    """Online softmax for one head. q: [block_q, d] scaled (input dtype);
+    K/V refs are [1, kv_pad, H*d] with the head at static column slice.
+    Returns (acc fp32, m, l)."""
+    block_q = q.shape[0]
     num_kv = kv_pad // block_k
+    lo = hi * d
 
     def body(j, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
+        )  # [block_q, block_k] fp32
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # cast P to the value dtype: bf16 x bf16 runs at full MXU rate
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, block_k,
+                kv_len, kv_pad, with_lse, lse_ref=None):
+    """Blocks carry all heads fused on the last axis ([1, block_q, H*d]);
+    the static head loop slices columns — no layout copies outside."""
+    hd = q_ref.shape[-1]
+    d = hd // num_heads
+    for hi in range(num_heads):
+        q = q_ref[0, :, hi * d:(hi + 1) * d]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+        acc, m, l = _head_softmax(q, k_ref, v_ref, hi, d, block_k=block_k,
+                                  kv_len=kv_len, kv_pad=kv_pad)
+        o_ref[0, :, hi * d:(hi + 1) * d] = (acc / l).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, :, hi * d:(hi + 1) * d] = jnp.broadcast_to(
+                m + jnp.log(l), (q.shape[0], d)).astype(lse_ref.dtype)
 
 
-def _pick_blocks(q_len: int, kv_len: int):
-    block_q = min(512, _round_up(q_len, 128))
-    block_k = min(1024, _round_up(kv_len, 128))
-    return block_q, block_k
+def _fwd_kernel_with_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                         num_heads, block_k, kv_len, kv_pad):
+    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, num_heads=num_heads,
+                block_k=block_k, kv_len=kv_len, kv_pad=kv_pad, with_lse=True,
+                lse_ref=lse_ref)
 
 
-def _flash_fwd(q, k, v, scale, interpret=False):
-    """q: [BH, Sq, D]; k/v: [BH, Sk, D] -> o: [BH, Sq, D]."""
-    bh, q_len, d = q.shape
+def _spec_kwargs():
+    return {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
+
+
+def _flash_fwd_bshd(q, k, v, scale, interpret, with_lse):
+    """q: [B, Sq, H, D]; k/v: [B, Sk, H, D]. Zero-copy: the head axis is
+    fused into the feature axis (a contiguous reshape) and sliced inside
+    the kernel."""
+    b, q_len, h, d = q.shape
     kv_len = k.shape[1]
     block_q, block_k = _pick_blocks(q_len, kv_len)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
-    if q_pad != q_len:
-        q = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
-    if kv_pad != kv_len:
-        k = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
 
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, kv_len=kv_len, kv_pad=kv_pad
-    )
-    grid = (bh, q_pad // block_q)
-    mem = pltpu.VMEM if _HAS_PLTPU else None
-    spec_kwargs = {"memory_space": mem} if mem is not None else {}
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+    def prep(x, target):
+        x = x.reshape(x.shape[0], x.shape[1], h * d)
+        if target != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q, q_pad), prep(k, kv_pad), prep(v, kv_pad)
+
+    grid = (b, q_pad // block_q)
+    sk = _spec_kwargs()
+    q_spec = pl.BlockSpec((1, block_q, h * d), lambda bi, i: (bi, i, 0), **sk)
+    kv_spec = pl.BlockSpec((1, kv_pad, h * d), lambda bi, i: (bi, 0, 0), **sk)
+
+    common = dict(scale=scale, num_heads=h, block_k=block_k, kv_len=kv_len,
+                  kv_pad=kv_pad)
+    if with_lse:
+        kernel = functools.partial(_fwd_kernel_with_lse, **common)
+        o, lse = pl.pallas_call(
+            kernel, grid=grid, in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, q_spec),
+            out_shape=(jax.ShapeDtypeStruct((b, q_pad, h * d), q.dtype),
+                       jax.ShapeDtypeStruct((b, q_pad, h * d), jnp.float32)),
+            interpret=interpret,
+        )(qf, kf, vf)
+        o = o[:, :q_len].reshape(b, q_len, h, d)
+        lse = lse[:, :q_len].reshape(b, q_len, h, d)[..., :1]
+        return o, lse
+    kernel = functools.partial(_fwd_kernel, with_lse=False, **common)
+    o = pl.pallas_call(
+        kernel, grid=grid, in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, h * d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    if q_pad != q_len:
-        out = out[:, :q_len]
-    return out
+    )(qf, kf, vf)
+    return o[:, :q_len].reshape(b, q_len, h, d)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernels (flash-attention-2 recompute style)
+# Backward kernels (flash-attention-2 recompute style) — operate on the
+# flattened [B*H, S, D] layout; the transposes only exist on the training
+# path.
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, aux_ref, do_ref, dk_ref, dv_ref, *,
                     scale, block_q, q_len, q_pad):
     """One program per (batch*head, kv-block): accumulate dk, dv over all q.
 
-    Probabilities are recomputed blockwise against the stored row
-    log-sum-exp:  p_ij = exp(s_ij - lse_i).  `aux` packs per-row scalars into
-    one well-tiled [q, d] operand: delta_i = sum(do_i * o_i) in column 0 and
-    lse_i in column d-1 (see _flash_bwd)."""
+    p_ij = exp(s_ij - lse_i); `aux` packs per-row scalars into one
+    well-tiled [q, d] operand: delta_i = sum(do_i * o_i) in column 0 and
+    lse_i in column d-1."""
     k = k_ref[0].astype(jnp.float32)  # [block_k, d]
     v = v_ref[0].astype(jnp.float32)
     block_k, d = k.shape
@@ -200,90 +247,25 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, aux_ref, do_ref, dq_ref, *,
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _fwd_kernel_with_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                         scale, block_k, kv_len, kv_pad):
-    """Forward that additionally writes the row log-sum-exp (for backward)."""
-    q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kv = kv_pad // block_k
-
-    def body(j, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < kv_len, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, d)).astype(lse_ref.dtype)
-
-
-def _flash_fwd_res(q, k, v, scale, interpret=False):
-    """Forward returning (o, lse) for the custom-vjp residuals."""
-    bh, q_len, d = q.shape
-    kv_len = k.shape[1]
-    block_q, block_k = _pick_blocks(q_len, kv_len)
-    q_pad = _round_up(q_len, block_q)
-    kv_pad = _round_up(kv_len, block_k)
-    if q_pad != q_len:
-        q = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
-    if kv_pad != kv_len:
-        k = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
-    kernel = functools.partial(
-        _fwd_kernel_with_lse, scale=scale, block_k=block_k, kv_len=kv_len, kv_pad=kv_pad
-    )
-    grid = (bh, q_pad // block_q)
-    mem = pltpu.VMEM if _HAS_PLTPU else None
-    spec_kwargs = {"memory_space": mem} if mem is not None else {}
-    o, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q_pad, d), jnp.float32),
-        ),
-        interpret=interpret,
-    )(q, k, v)
-    return o[:, :q_len], lse[:, :q_len, :1]
-
-
 def _flash_bwd(scale, interpret, res, g):
-    q, k, v, o, lse = res
-    bh, q_len, d = q.shape
-    kv_len = k.shape[1]
+    q_bshd, k_bshd, v_bshd, o_bshd, lse_bshd = res
+    b, q_len, h, d = q_bshd.shape
+    kv_len = k_bshd.shape[1]
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
+
+    q, k, v, o, g2 = (to_bh(x) for x in (q_bshd, k_bshd, v_bshd, o_bshd, g))
+    lse = to_bh(lse_bshd)  # [bh, Sq, 1]
+    bh = b * h
+
     block_q, block_k = _pick_blocks(q_len, kv_len)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
-    g32 = g.astype(jnp.float32)
-    delta = jnp.sum(g32 * o.astype(jnp.float32), axis=-1, keepdims=True)  # [bh,Sq,1]
-    # aux carries (delta | ... | lse) in one [bh, Sq, d] tensor so the kernels
-    # read a single well-tiled operand instead of two skinny ones.
+    delta = jnp.sum(g2.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [bh, Sq, 1]
+    # aux packs (delta | ... | lse) into one well-tiled [bh, Sq, d] tensor
     aux = jnp.zeros((bh, q_len, d), jnp.float32)
     aux = aux.at[:, :, 0:1].set(delta).at[:, :, d - 1:d].set(lse)
 
@@ -293,13 +275,10 @@ def _flash_bwd(scale, interpret, res, g):
     def pad_kv(x):
         return jnp.pad(x, ((0, 0), (0, kv_pad - kv_len), (0, 0))) if kv_pad != kv_len else x
 
-    qp, gp, auxp = pad_q(q), pad_q(g), pad_q(aux)
+    qp, gp, auxp = pad_q(q), pad_q(g2), pad_q(aux)
     kp, vp = pad_kv(k), pad_kv(v)
+    sk = _spec_kwargs()
 
-    mem = pltpu.VMEM if _HAS_PLTPU else None
-    spec_kwargs = {"memory_space": mem} if mem is not None else {}
-
-    # dk/dv: grid over kv blocks; o_ref operand is replaced by aux (delta+lse)
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, block_q=block_q, q_len=q_len, q_pad=q_pad
     )
@@ -307,15 +286,15 @@ def _flash_bwd(scale, interpret, res, g):
         dkv_kernel,
         grid=(bh, kv_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, q_pad, d), lambda b, j: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0), **spec_kwargs),
-            pl.BlockSpec((1, q_pad, d), lambda b, j: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, q_pad, d), lambda b, j: (b, 0, 0), **spec_kwargs),
+            pl.BlockSpec((1, q_pad, d), lambda bi, j: (bi, 0, 0), **sk),
+            pl.BlockSpec((1, block_k, d), lambda bi, j: (bi, j, 0), **sk),
+            pl.BlockSpec((1, block_k, d), lambda bi, j: (bi, j, 0), **sk),
+            pl.BlockSpec((1, q_pad, d), lambda bi, j: (bi, 0, 0), **sk),
+            pl.BlockSpec((1, q_pad, d), lambda bi, j: (bi, 0, 0), **sk),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0), **spec_kwargs),
+            pl.BlockSpec((1, block_k, d), lambda bi, j: (bi, j, 0), **sk),
+            pl.BlockSpec((1, block_k, d), lambda bi, j: (bi, j, 0), **sk),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, kv_pad, d), k.dtype),
@@ -331,45 +310,42 @@ def _flash_bwd(scale, interpret, res, g):
         dq_kernel,
         grid=(bh, q_pad // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
+            pl.BlockSpec((1, block_q, d), lambda bi, i: (bi, i, 0), **sk),
+            pl.BlockSpec((1, kv_pad, d), lambda bi, i: (bi, 0, 0), **sk),
+            pl.BlockSpec((1, kv_pad, d), lambda bi, i: (bi, 0, 0), **sk),
+            pl.BlockSpec((1, block_q, d), lambda bi, i: (bi, i, 0), **sk),
+            pl.BlockSpec((1, block_q, d), lambda bi, i: (bi, i, 0), **sk),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **spec_kwargs),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, i: (bi, i, 0), **sk),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, auxp, gp)
 
-    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+    def from_bh(x, s_len):
+        return x[:, :s_len].reshape(b, h, s_len, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq, q_len), from_bh(dk, kv_len), from_bh(dv, kv_len)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_bh(q, k, v, scale, interpret):
-    return _flash_fwd(q, k, v, scale, interpret)
+def _flash_attention_core(q, k, v, scale, interpret):
+    return _flash_fwd_bshd(q, k, v, scale, interpret, with_lse=False)
 
 
-def _flash_attention_bh_fwd(q, k, v, scale, interpret):
-    o, lse = _flash_fwd_res(q, k, v, scale, interpret)
+def _flash_attention_fwd(q, k, v, scale, interpret):
+    o, lse = _flash_fwd_bshd(q, k, v, scale, interpret, with_lse=True)
     return o, (q, k, v, o, lse)
 
 
-_flash_attention_bh.defvjp(_flash_attention_bh_fwd, _flash_bwd)
+_flash_attention_core.defvjp(_flash_attention_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, scale: float | None = None, interpret: bool = False):
     """Flash attention over [B, S, H, D] inputs (jax.nn layout).
 
-    Differentiable (custom VJP with Pallas backward kernels). Falls back to
-    the caller to decide when XLA attention is preferable (tiny kv).
+    Differentiable (custom VJP with Pallas backward kernels); the forward
+    pass runs directly on the BSHD layout with zero transposes.
     """
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
     if scale is None:
-        scale = 1.0 / math.sqrt(d)
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    o = _flash_attention_bh(qt, kt, vt, float(scale), interpret)
-    return o.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_attention_core(q, k, v, float(scale), interpret)

@@ -21,32 +21,39 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     """GroupNorm over a channels-last tensor.
 
     x: [N, *spatial, C]; scale/bias: [C].
-    Statistics are computed per (sample, group) over spatial dims and the
-    channels inside the group, in float32.
+    Statistics are accumulated in float32, then the normalisation is applied
+    as one fused multiply-add `x * a + b` in the input dtype (a/b are tiny
+    per-group fp32 scalars folded with scale/bias) — this keeps the HBM
+    traffic at one read + one write of x instead of fp32 round-trips.
     """
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
-    x32 = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
-    x32 = (x32 - mean) * lax.rsqrt(var + eps)
-    x32 = x32.reshape(x.shape)
-    out = x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    xg = x.reshape(n, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(lax.square(xg.astype(jnp.float32)), axis=(1, 3),
+                       keepdims=True)
+    var = jnp.maximum(mean_sq - lax.square(mean), 0.0)
+    inv = lax.rsqrt(var + eps)                         # [n, 1, G, 1] fp32
+    # fold per-group stats with per-channel affine: out = x * a + b
+    scale32 = scale.astype(jnp.float32).reshape(1, 1, num_groups, c // num_groups)
+    bias32 = bias.astype(jnp.float32).reshape(1, 1, num_groups, c // num_groups)
+    a = (inv * scale32)
+    b = (bias32 - mean * a)
+    out = xg.astype(jnp.float32) * a + b
+    return out.reshape(x.shape).astype(orig_dtype)
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-5):
-    """LayerNorm over the last axis, fp32 statistics. scale/bias: [C]."""
+    """LayerNorm over the last axis; fp32 statistics, fused affine apply."""
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    out = (x32 - mean) * lax.rsqrt(var + eps)
-    if scale is not None:
-        out = out * scale.astype(jnp.float32)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - lax.square(mean), 0.0)
+    inv = lax.rsqrt(var + eps)
+    a = inv * (scale.astype(jnp.float32) if scale is not None else 1.0)
+    b = -mean * a + (bias.astype(jnp.float32) if bias is not None else 0.0)
+    out = x.astype(jnp.float32) * a + b
     return out.astype(orig_dtype)

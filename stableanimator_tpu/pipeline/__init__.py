@@ -7,3 +7,8 @@ from stableanimator_tpu.pipeline.animation import (
     decode_frames,
     generate,
 )
+from stableanimator_tpu.pipeline.face_opt import (
+    FaceOptConfig,
+    FaceOptimizer,
+    face_boxes_from_pose,
+)

@@ -53,6 +53,10 @@ class AnimationDataset:
         self.face_model = face_model
         self.rng = np.random.default_rng(seed)
         self._embed_cache: Dict[str, np.ndarray] = {}
+        # rng draws are guarded so PrefetchLoader workers stay independent
+        import threading
+
+        self._lock = threading.Lock()
 
     def _load_image(self, path: str, mode: str = "RGB") -> np.ndarray:
         img = Image.open(path).convert(mode).resize((self.width, self.height))
@@ -75,7 +79,11 @@ class AnimationDataset:
         return emb
 
     def sample(self) -> Dict[str, np.ndarray]:
-        video_dir = self.video_dirs[int(self.rng.integers(len(self.video_dirs)))]
+        with self._lock:
+            video_idx = int(self.rng.integers(len(self.video_dirs)))
+            r_start = self.rng.random()
+            r_ref = self.rng.random()
+        video_dir = self.video_dirs[video_idx]
         images = _frames_in(os.path.join(video_dir, "images"))
         poses = _frames_in(os.path.join(video_dir, "poses"))
         faces = _frames_in(os.path.join(video_dir, "faces"))
@@ -83,9 +91,9 @@ class AnimationDataset:
         if n < self.sample_n_frames:
             raise ValueError(f"{video_dir}: only {n} complete frames, "
                              f"need {self.sample_n_frames}")
-        start = int(self.rng.integers(0, n - self.sample_n_frames + 1))
+        start = int(r_start * (n - self.sample_n_frames + 1))
         sel = range(start, start + self.sample_n_frames)
-        ref_idx = int(self.rng.integers(0, n))
+        ref_idx = int(r_ref * n)
 
         frames = np.stack([self._load_image(images[i]) for i in sel]) / 127.5 - 1.0
         pose_px = np.stack([self._load_image(poses[i]) for i in sel]) / 127.5 - 1.0
@@ -103,6 +111,49 @@ class AnimationDataset:
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         samples = [self.sample() for _ in range(batch_size)]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class PrefetchLoader:
+    """Threaded prefetch: overlaps host-side PNG decode/augment with device
+    steps (the reference delegates this to torch DataLoader workers,
+    --num_workers=8; command_train.sh:10)."""
+
+    def __init__(self, sampler, batch_size: int, num_workers: int = 4,
+                 prefetch: int = 4):
+        import queue
+        import threading
+
+        self._sampler = sampler
+        self._batch_size = batch_size
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._sampler.batch(self._batch_size)
+            except Exception as e:  # surface loader errors to the consumer
+                batch = e
+            self._queue.put(batch)
+            if isinstance(batch, Exception):
+                return
+
+    def next(self):
+        item = self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        while not self._queue.empty():
+            self._queue.get_nowait()
 
 
 class MixedResolutionSampler:
