@@ -1,0 +1,104 @@
+"""Coverage for small subsystems: tiling tables, image utils, trace dumps."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from stableanimator_tpu.diffusion.tiling import tile_blend_weight, tile_indices
+
+
+class TestTiling:
+    def test_single_tile(self):
+        idx = tile_indices(16, 16, 4)
+        assert idx.shape == (1, 16)
+        np.testing.assert_array_equal(idx[0], np.arange(16))
+
+    def test_overlapping_tiles_match_reference_construction(self):
+        """Mirror of the reference expression at
+        inference_pipeline_animation.py:613-616."""
+        for f, tile, overlap in [(24, 16, 4), (36, 16, 4), (20, 8, 2)]:
+            expected = [[0, *range(i + 1, min(i + tile, f))]
+                        for i in range(0, f - tile + 1, tile - overlap)]
+            if expected[-1][-1] < f - 1:
+                expected.append([0, *range(f - tile + 1, f)])
+            got = tile_indices(f, tile, overlap)
+            np.testing.assert_array_equal(got, np.asarray(expected))
+            # every window is anchored at frame 0 and covers all frames
+            assert (got[:, 0] == 0).all()
+            assert set(got.reshape(-1)) == set(range(f))
+
+    def test_blend_weights_triangular(self):
+        w = tile_blend_weight(16)
+        assert w.shape == (16,)
+        assert abs(w[0] - w[-1]) < 1e-6  # symmetric
+        assert w.argmax() in (7, 8)
+        ref = np.minimum((np.arange(16) + 0.5) * 2 / 16,
+                         2 - (np.arange(16) + 0.5) * 2 / 16)
+        np.testing.assert_allclose(w, ref)
+
+    def test_too_few_frames_raises(self):
+        with pytest.raises(ValueError):
+            tile_indices(8, 16, 4)
+
+
+class TestImageUtils:
+    def test_roundtrip_and_sorting(self, tmp_path):
+        from PIL import Image
+
+        from stableanimator_tpu.utils.image import (
+            export_to_gif,
+            frames_to_uint8,
+            load_images_from_folder,
+            pil_to_unit_array,
+            poses_to_array,
+            save_frames_as_png,
+        )
+
+        rng = np.random.default_rng(0)
+        # write frames out of lexicographic order to test numeric sort
+        for i in (0, 2, 10, 1):
+            arr = rng.integers(0, 255, (16, 12, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"frame_{i}.png")
+        imgs = load_images_from_folder(str(tmp_path), width=12, height=16)
+        assert len(imgs) == 4
+
+        unit = pil_to_unit_array(imgs[0])
+        assert unit.shape == (1, 16, 12, 3)
+        assert 0.0 <= unit.min() and unit.max() <= 1.0
+
+        poses = poses_to_array(imgs)
+        assert poses.shape == (4, 16, 12, 3)
+        assert -1.0 <= poses.min() and poses.max() <= 1.0
+
+        frames = rng.uniform(0, 1, (3, 16, 12, 3)).astype(np.float32)
+        u8 = frames_to_uint8(frames)
+        assert u8[0].dtype == np.uint8
+        out = tmp_path / "out"
+        save_frames_as_png(u8, str(out))
+        assert len(os.listdir(out)) == 3
+        export_to_gif(u8, str(tmp_path / "v.gif"))
+        assert (tmp_path / "v.gif").exists()
+
+
+class TestTrace:
+    def test_dump_format(self, capsys):
+        from stableanimator_tpu.core import trace
+
+        trace.enable(True)
+        try:
+            trace.dump("latents", np.ones((2, 3), np.float32) * 2)
+        finally:
+            trace.enable(False)
+        out = capsys.readouterr().out
+        assert "tensor [latents] size: [2, 3]" in out
+        assert "mean: 2.0" in out
+
+    def test_disabled_is_silent(self, capsys):
+        from stableanimator_tpu.core import trace
+
+        trace.enable(False)
+        trace.dump("x", np.zeros((1,)))
+        assert capsys.readouterr().out == ""
