@@ -177,11 +177,18 @@ class TemporalBasicTransformerBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, time_context, *, num_frames: int):
+    def __call__(self, x, time_context, *, num_frames: int, frame_emb=None):
         n, s, c = x.shape
         b = n // num_frames
-        # [B*F, S, C] -> [B*S, F, C]
+        # [B*F, S, C] -> [B*S, F, C]. The transpose is a pure copy; the
+        # frame positional embedding is added afterwards in the temporal
+        # layout (identical math, but it fuses with the next op instead of
+        # turning the transpose into a slow strided elementwise fusion).
         h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+        if frame_emb is not None:
+            # frame_emb [B*F, 1, C] -> [B, 1, F, C] broadcast over S
+            fe = frame_emb.reshape(b, num_frames, c)[:, None, :, :]
+            h = (h.reshape(b, s, num_frames, c) + fe).reshape(b * s, num_frames, c)
 
         residual = h
         h = LayerNorm(name="norm_in")(h)
@@ -251,11 +258,13 @@ class TransformerSpatioTemporalModel(nn.Module):
                 use_flash=self.use_flash, dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, context)
-            h_mix = h + emb
+            # the reference computes (h + emb) before the temporal block
+            # (unet.py:686); the add happens inside, post-transpose —
+            # identical math, better fusion
             h_mix = TemporalBasicTransformerBlock(
                 self.heads, self.dim_head, dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h_mix, time_context, num_frames=num_frames)
+            )(h, time_context, num_frames=num_frames, frame_emb=emb)
             h = time_mixer(h, h_mix)
 
         h = nn.Dense(c_in, dtype=self.dtype, param_dtype=jnp.float32,
