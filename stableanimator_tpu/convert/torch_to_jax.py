@@ -99,7 +99,13 @@ _UNET_LISTS = ("down_blocks", "up_blocks", "resnets", "attentions",
                "downsamplers", "upsamplers")
 
 
+_UNET_TOPS = ("conv_in", "time_embedding", "add_embedding", "down_blocks",
+              "mid_block", "up_blocks", "conv_norm_out", "conv_out")
+
+
 def _unet_key(torch_key: str):
+    if not torch_key.startswith(_UNET_TOPS):
+        return None
     k = _strip_param_suffix(torch_key)
     # attention output projection is a ModuleList [Linear, Dropout]
     k = k.replace(".to_out.0", ".to_out")
@@ -168,6 +174,8 @@ def _pose_net_key(torch_key: str):
     k = _strip_param_suffix(torch_key)
     if k == "scale":
         return ("scale",)
+    if not k.startswith(("conv_layers", "final_proj")):
+        return None
     k = re.sub(r"\bconv_layers\.(\d+)", r"conv_layers_\1", k)
     return tuple(k.split("."))
 
@@ -181,6 +189,8 @@ def convert_pose_net(sd: Mapping[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 def _face_encoder_key(torch_key: str):
+    if not torch_key.startswith(("proj", "norm", "fusion_model")):
+        return None
     k = _strip_param_suffix(torch_key)
     k = re.sub(r"\bproj\.(\d+)", r"proj_\1", k)  # proj.0 / proj.2 MLP
     # fusion_model.layers.{i}.0 = PerceiverAttention, .1 = FeedForward

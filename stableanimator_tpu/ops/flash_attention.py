@@ -54,72 +54,80 @@ def _pick_blocks(q_len: int, kv_len: int):
     return block_q, block_k
 
 
-def _head_softmax(q, k_ref, v_ref, hi, d, *, block_k, kv_len, kv_pad):
-    """Online softmax for one head. q: [block_q, d] scaled (input dtype);
-    K/V refs are [1, kv_pad, H*d] with the head at static column slice.
-    Returns (acc fp32, m, l)."""
-    block_q = q.shape[0]
-    num_kv = kv_pad // block_k
-    lo = hi * d
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                *, scale, num_heads, block_k, kv_len, with_lse):
+    """Grid (batch, q-block, kv-block); kv innermost. Blocks carry all heads
+    fused on the last axis ([1, block_q, H*d]) - static column slices per
+    head, so no layout copies outside the kernel. The running max /
+    normaliser and the fp32 accumulator live in scratch that persists
+    across the kv grid axis (canonical streamed flash), so VMEM stays a few
+    MB for any sequence length."""
+    hd = q_ref.shape[-1]
+    d = hd // num_heads
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
 
-    def body(j, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for hi in range(num_heads):
+        lo = hi * d
+        q = q_ref[0, :, lo:lo + d]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k_blk = k_ref[0, :, lo:lo + d]
+        v_blk = v_ref[0, :, lo:lo + d]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k] fp32
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_prev = m_ref[:, hi:hi + 1]
+        l_prev = l_ref[:, hi:hi + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, hi:hi + 1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, hi:hi + 1] = m_new
         # cast P to the value dtype: bf16 x bf16 runs at full MXU rate
-        acc_new = acc * alpha + jax.lax.dot_general(
+        acc_ref[:, lo:lo + d] = acc_ref[:, lo:lo + d] * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    return jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-
-
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, block_k,
-                kv_len, kv_pad, with_lse, lse_ref=None):
-    """Blocks carry all heads fused on the last axis ([1, block_q, H*d]);
-    the static head loop slices columns — no layout copies outside."""
-    hd = q_ref.shape[-1]
-    d = hd // num_heads
-    for hi in range(num_heads):
-        q = q_ref[0, :, hi * d:(hi + 1) * d]
-        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
-        acc, m, l = _head_softmax(q, k_ref, v_ref, hi, d, block_k=block_k,
-                                  kv_len=kv_len, kv_pad=kv_pad)
-        o_ref[0, :, hi * d:(hi + 1) * d] = (acc / l).astype(o_ref.dtype)
-        if with_lse:
-            lse_ref[0, :, hi * d:(hi + 1) * d] = jnp.broadcast_to(
-                m + jnp.log(l), (q.shape[0], d)).astype(lse_ref.dtype)
-
-
-def _fwd_kernel_with_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                         num_heads, block_k, kv_len, kv_pad):
-    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, num_heads=num_heads,
-                block_k=block_k, kv_len=kv_len, kv_pad=kv_pad, with_lse=True,
-                lse_ref=lse_ref)
+    @pl.when(j == num_kv - 1)
+    def _emit():
+        for hi in range(num_heads):
+            lo = hi * d
+            l = l_ref[:, hi:hi + 1]
+            o_ref[0, :, lo:lo + d] = (acc_ref[:, lo:lo + d] / l).astype(o_ref.dtype)
+            if with_lse:
+                lse = m_ref[:, hi:hi + 1] + jnp.log(l)
+                lse_ref[0, :, lo:lo + d] = jnp.broadcast_to(
+                    lse, (lse_ref.shape[1], d)).astype(lse_ref.dtype)
 
 
 def _spec_kwargs():
     return {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
 
 
+def _scratch_shapes(block_q, hd):
+    if _HAS_PLTPU:
+        return [pltpu.VMEM((block_q, hd), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32)]
+    # interpret mode (CPU tests): plain array scratch
+    return [pl.MemoryRef((block_q, hd), jnp.float32),
+            pl.MemoryRef((block_q, 128), jnp.float32),
+            pl.MemoryRef((block_q, 128), jnp.float32)]
+
+
 def _flash_fwd_bshd(q, k, v, scale, interpret, with_lse):
     """q: [B, Sq, H, D]; k/v: [B, Sk, H, D]. Zero-copy: the head axis is
     fused into the feature axis (a contiguous reshape) and sliced inside
-    the kernel."""
+    the kernel; the lse output is only materialised on the training path."""
     b, q_len, h, d = q.shape
     kv_len = k.shape[1]
     block_q, block_k = _pick_blocks(q_len, kv_len)
@@ -134,33 +142,32 @@ def _flash_fwd_bshd(q, k, v, scale, interpret, with_lse):
 
     qf, kf, vf = prep(q, q_pad), prep(k, kv_pad), prep(v, kv_pad)
 
-    grid = (b, q_pad // block_q)
+    grid = (b, q_pad // block_q, kv_pad // block_k)
     sk = _spec_kwargs()
-    q_spec = pl.BlockSpec((1, block_q, h * d), lambda bi, i: (bi, i, 0), **sk)
-    kv_spec = pl.BlockSpec((1, kv_pad, h * d), lambda bi, i: (bi, 0, 0), **sk)
+    q_spec = pl.BlockSpec((1, block_q, h * d), lambda bi, i, j: (bi, i, 0), **sk)
+    kv_spec = pl.BlockSpec((1, block_k, h * d), lambda bi, i, j: (bi, j, 0), **sk)
 
-    common = dict(scale=scale, num_heads=h, block_k=block_k, kv_len=kv_len,
-                  kv_pad=kv_pad)
-    if with_lse:
-        kernel = functools.partial(_fwd_kernel_with_lse, **common)
-        o, lse = pl.pallas_call(
-            kernel, grid=grid, in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=(q_spec, q_spec),
-            out_shape=(jax.ShapeDtypeStruct((b, q_pad, h * d), q.dtype),
-                       jax.ShapeDtypeStruct((b, q_pad, h * d), jnp.float32)),
-            interpret=interpret,
-        )(qf, kf, vf)
-        o = o[:, :q_len].reshape(b, q_len, h, d)
-        lse = lse[:, :q_len].reshape(b, q_len, h, d)[..., :1]
-        return o, lse
-    kernel = functools.partial(_fwd_kernel, with_lse=False, **common)
-    o = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, scale=scale, num_heads=h,
+                               block_k=block_k, kv_len=kv_len,
+                               with_lse=with_lse)
+    # the lse slot always exists in the kernel signature; without lse it is
+    # a 1-row dummy so no bandwidth is wasted
+    lse_rows = q_pad if with_lse else block_q
+    lse_spec = pl.BlockSpec((1, block_q, h * d),
+                            (lambda bi, i, j: (bi, i, 0)) if with_lse
+                            else (lambda bi, i, j: (bi, 0, 0)), **sk)
+    o, lse = pl.pallas_call(
         kernel, grid=grid, in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, q_pad, h * d), q.dtype),
+        out_specs=(q_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, q_pad, h * d), q.dtype),
+                   jax.ShapeDtypeStruct((b, lse_rows, h * d), jnp.float32)),
+        scratch_shapes=_scratch_shapes(block_q, h * d),
         interpret=interpret,
     )(qf, kf, vf)
-    return o[:, :q_len].reshape(b, q_len, h, d)
+    o = o[:, :q_len].reshape(b, q_len, h, d)
+    if with_lse:
+        return o, lse[:, :q_len].reshape(b, q_len, h, d)[..., :1]
+    return o
 
 
 # ---------------------------------------------------------------------------
