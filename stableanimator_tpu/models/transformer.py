@@ -185,9 +185,6 @@ class TemporalBasicTransformerBlock(nn.Module):
         # layout (identical math, but it fuses with the next op instead of
         # turning the transpose into a slow strided elementwise fusion).
         h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
-        # keep the transpose a clean copy: fusing elementwise into it turns
-        # it into a slow strided kernel (measured ~4x on v5e)
-        h = jax.lax.optimization_barrier(h)
         if frame_emb is not None:
             # frame_emb [B*F, 1, C] -> [B, 1, F, C] broadcast over S
             fe = frame_emb.reshape(b, num_frames, c)[:, None, :, :]
@@ -207,8 +204,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         hn = LayerNorm(name="norm3")(h)
         h = h + FeedForward(dtype=self.dtype, name="ff")(hn)
 
-        h = h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(n, s, c)
-        return jax.lax.optimization_barrier(h)
+        return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(n, s, c)
 
 
 class TransformerSpatioTemporalModel(nn.Module):
