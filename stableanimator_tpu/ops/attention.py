@@ -23,7 +23,9 @@ from stableanimator_tpu.ops.flash_attention import flash_attention
 
 # below this many kv tokens the flash kernel has nothing to win: a single
 # XLA fused softmax-matmul is optimal and avoids kernel-launch overhead.
-_FLASH_MIN_SEQ = 1024
+# (512 also routes the 576-token level-2 attention of the 576x1024 pro
+# config through flash, avoiding an 8.5 GB fp32 logits tensor.)
+_FLASH_MIN_SEQ = 512
 
 
 def _on_tpu() -> bool:
