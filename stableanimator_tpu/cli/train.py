@@ -48,6 +48,10 @@ def parse_args():
                    help='"latest" or a step number')
     p.add_argument("--num_workers", type=int, default=8)  # parity flag
     p.add_argument("--allow_random_init", action="store_true")
+    p.add_argument("--trainable_modules", type=str,
+                   default="unet,pose_net,face_encoder",
+                   help="what the optimizer updates (reference trains all "
+                        "three; 'pose_net,face_encoder' fits one 16GB chip)")
     return p.parse_args()
 
 
@@ -57,7 +61,8 @@ def main():
     from stableanimator_tpu.cli.animate import load_params
     from stableanimator_tpu.core.checkpoint import CheckpointManager
     from stableanimator_tpu.core.config import PipelineConfig, TrainConfig
-    from stableanimator_tpu.parallel import make_mesh, shard_params
+    from stableanimator_tpu.parallel import (
+        make_mesh, shard_optimizer_state, shard_params)
     from stableanimator_tpu.pipeline import build_models
     from stableanimator_tpu.train import TrainState, create_train_state, make_train_step
     from stableanimator_tpu.train.data import (
@@ -98,10 +103,11 @@ def main():
     global_batch = args.per_device_batch_size * n_dev
     print(f"mesh: {n_dev} devices, global batch {global_batch}")
 
-    state, tx = create_train_state(params, cfg)
+    state, tx = create_train_state(
+        params, cfg, trainable_keys=tuple(args.trainable_modules.split(",")))
     state = TrainState(state.step, shard_params(state.params, mesh),
                        shard_params(state.frozen, mesh),
-                       shard_params(state.opt_state, mesh))
+                       shard_optimizer_state(state.opt_state, mesh))
 
     mgr = CheckpointManager(args.output_dir, total_limit=args.checkpoints_total_limit)
     if args.resume_from_checkpoint:

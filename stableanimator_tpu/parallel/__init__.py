@@ -4,4 +4,5 @@ from stableanimator_tpu.parallel.mesh import (
     batch_sharding,
     video_sharding,
     shard_params,
+    shard_optimizer_state,
 )

@@ -58,3 +58,25 @@ def shard_params(params, mesh: Mesh):
     training-side option, see train/train_step.py)."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
+
+
+def zero_sharding_for(x, mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """ZeRO-1 style sharding for one optimizer-state leaf: split the first
+    axis divisible by the mesh axis size; replicate scalars/odd shapes."""
+    n = mesh.shape[axis]
+    spec = [None] * getattr(x, "ndim", 0)
+    for i, dim in enumerate(getattr(x, "shape", ())):
+        if dim % n == 0 and dim >= n:
+            spec[i] = axis
+            break
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_optimizer_state(opt_state, mesh: Mesh, axis: str = DATA_AXIS):
+    """Shard Adam moments (and any other param-shaped optimizer leaves)
+    across the mesh so optimizer memory scales 1/n_devices (ZeRO-1).
+    Training at the reference's 512^2 x 16-frame config needs ~36 GB with
+    replicated fp32 Adam state — more than one v5e chip; sharded over 8
+    chips it fits. GSPMD inserts the gather/scatter collectives."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, zero_sharding_for(x, mesh, axis)), opt_state)

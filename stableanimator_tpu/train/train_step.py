@@ -76,28 +76,35 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
-def create_train_state(params: dict, cfg: TrainConfig) -> tuple[TrainState, optax.GradientTransformation]:
-    trainable = {k: params[k] for k in ("unet", "pose_net", "face_encoder")}
-    frozen = {k: params[k] for k in ("vae", "clip")}
+DEFAULT_TRAINABLE = ("unet", "pose_net", "face_encoder")
+
+
+def create_train_state(params: dict, cfg: TrainConfig,
+                       trainable_keys=DEFAULT_TRAINABLE,
+                       ) -> tuple[TrainState, optax.GradientTransformation]:
+    """trainable_keys selects what the optimizer updates — the reference
+    trains {unet, pose_net, face_encoder} (README.md:92-94); adapter-only
+    finetunes ({pose_net, face_encoder}) fit a single 16 GB chip since the
+    1.5B-param UNet then carries no Adam state."""
+    trainable = {k: params[k] for k in trainable_keys}
+    frozen = {k: v for k, v in params.items() if k not in trainable_keys}
     tx = make_optimizer(cfg)
     opt_state = tx.init(trainable)
     return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state), tx
 
 
-def _encode_context(models: AnimationModels, frozen, trainable, ref_image,
-                    face_embedding):
-    """CLIP + face tokens for the conditioned stream (frozen CLIP,
-    trainable face encoder)."""
+def _encode_context(models: AnimationModels, p, ref_image, face_embedding):
+    """CLIP + face tokens for the conditioned stream."""
     ccfg = models.clip.config
     x = ref_image * 2.0 - 1.0
     x = resize_antialias(x, ccfg.image_size, ccfg.image_size)
     x = (x + 1.0) / 2.0
     mean = jnp.asarray(CLIP_IMAGE_MEAN, x.dtype)
     std = jnp.asarray(CLIP_IMAGE_STD, x.dtype)
-    clip_embed = models.clip.apply({"params": frozen["clip"]}, (x - mean) / std)
+    clip_embed = models.clip.apply({"params": p["clip"]}, (x - mean) / std)
     clip_embed = clip_embed[:, None, :].astype(jnp.float32)
     faceid = models.face_encoder.apply(
-        {"params": trainable["face_encoder"]},
+        {"params": p["face_encoder"]},
         face_embedding.astype(clip_embed.dtype), clip_embed).astype(jnp.float32)
     return jnp.concatenate([clip_embed, faceid], axis=1)
 
@@ -116,6 +123,7 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
       face_mask   [B, F, H, W, 1] in {0, 1}    facial-region mask
     """
     sched = sched or SchedulerConfig()
+    p = {**frozen, **trainable}
     b, f, hh, ww, _ = batch["frames"].shape
     h8, w8 = hh // 8, ww // 8
     scaling = models.vae.config.scaling_factor
@@ -123,25 +131,25 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
 
     # --- targets: per-frame VAE encode (frozen, fp32), SVD latent scaling
     frames_flat = batch["frames"].reshape(b * f, hh, ww, 3)
-    moments = models.vae.apply({"params": frozen["vae"]}, frames_flat,
+    moments = models.vae.apply({"params": p["vae"]}, frames_flat,
                                method=models.vae.encode)
     x0 = moments.sample(rngs[0]).astype(jnp.float32) * scaling
     x0 = x0.reshape(b, f, h8, w8, -1)
 
     # --- conditioning
-    context = _encode_context(models, frozen, trainable, batch["ref_image"],
+    context = _encode_context(models, p, batch["ref_image"],
                               batch["face_embed"])
     ref_in = batch["ref_image"] * 2.0 - 1.0
     ref_in = ref_in + pipe.noise_aug_strength * jax.random.normal(
         rngs[1], ref_in.shape, jnp.float32)
-    ref_moments = models.vae.apply({"params": frozen["vae"]}, ref_in,
+    ref_moments = models.vae.apply({"params": p["vae"]}, ref_in,
                                    method=models.vae.encode)
     # conditioning latent is NOT scaled by scaling_factor (reference
     # _encode_vae_image: inference_pipeline_animation.py:246-272)
     ref_lat = ref_moments.mode().astype(jnp.float32)
 
     pose_latents = models.pose_net.apply(
-        {"params": trainable["pose_net"]},
+        {"params": p["pose_net"]},
         batch["pose_pixels"].reshape(b * f, hh, ww, 3)).astype(jnp.float32)
 
     # --- conditioning dropout for CFG
@@ -167,7 +175,7 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
         jnp.asarray([[pipe.fps - 1, pipe.motion_bucket_id,
                       pipe.noise_aug_strength]], jnp.float32), (b, 3))
 
-    v = models.unet.apply({"params": trainable["unet"]}, model_in, t, context,
+    v = models.unet.apply({"params": p["unet"]}, model_in, t, context,
                           add_ids, pose_latents).astype(jnp.float32)
 
     # x0_hat from v-prediction, loss on x0 with EDM weighting

@@ -19,7 +19,12 @@ from stableanimator_tpu.core.config import (
     UNetConfig,
     VAEConfig,
 )
-from stableanimator_tpu.parallel import make_mesh, replicated, shard_params
+from stableanimator_tpu.parallel import (
+    make_mesh,
+    replicated,
+    shard_optimizer_state,
+    shard_params,
+)
 from stableanimator_tpu.pipeline import build_models, init_params
 from stableanimator_tpu.train import (
     TrainState,
@@ -106,7 +111,8 @@ def test_data_parallel_matches_single_device(setup):
     state2 = TrainState(state2.step,
                         shard_params(state2.params, mesh),
                         shard_params(state2.frozen, mesh),
-                        shard_params(state2.opt_state, mesh))
+                        # ZeRO-1: optimizer moments sharded over the mesh
+                        shard_optimizer_state(state2.opt_state, mesh))
     batch_sharded = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
     dp_state, dp_metrics = step(state2, batch_sharded, rng)

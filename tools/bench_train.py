@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--encode_chunk", type=int, default=4)
+    ap.add_argument("--trainable", type=str,
+                    default="unet,pose_net,face_encoder",
+                    help="comma list; 'pose_net,face_encoder' = adapter-only "
+                         "finetune that fits one 16GB chip")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -44,7 +48,8 @@ def main():
     cfg = TrainConfig(lr_warmup_steps=1, gradient_checkpointing=True)
     pipe = PipelineConfig(height=args.height, width=args.width,
                           num_frames=args.frames)
-    state, tx = create_train_state(params, cfg)
+    trainable_keys = tuple(args.trainable.split(","))
+    state, tx = create_train_state(params, cfg, trainable_keys=trainable_keys)
     step = make_train_step(models, tx, cfg, pipe, donate=False)
 
     b, f, h, w = args.batch, args.frames, args.height, args.width
@@ -70,7 +75,8 @@ def main():
         float(metrics["loss"])
         ts.append(time.time() - t0)
     sec = min(ts)
-    print(f"train step ({b}x{f}f @ {h}x{w}, remat, bf16): {sec:.2f}s/step "
+    print(f"train step ({b}x{f}f @ {h}x{w}, remat, bf16, "
+          f"trainable={args.trainable}): {sec:.2f}s/step "
           f"-> {3600 / sec * b:.0f} clips/hour/chip")
 
 
