@@ -112,7 +112,8 @@ def _encode_context(models: AnimationModels, p, ref_image, face_embedding):
 def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
                cfg: TrainConfig, pipe: PipelineConfig,
                sched: SchedulerConfig | None = None,
-               conditioning_dropout_prob: float = 0.1):
+               conditioning_dropout_prob: float = 0.1,
+               encode_chunk: int = 4):
     """EDM face-masked reconstruction loss.
 
     batch dict (all float32, channels-last):
@@ -121,6 +122,9 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
       pose_pixels [B, F, H, W, 3] in [-1, 1]   skeleton renderings
       face_embed  [B, id_dim]                  ArcFace embedding
       face_mask   [B, F, H, W, 1] in {0, 1}    facial-region mask
+    encode_chunk bounds the fp32 VAE-encode activation footprint (the
+    encoder is per-frame, so chunking is exact; 16 frames at 512^2 in one
+    batch would need several GB of level-0 fp32 activations).
     """
     sched = sched or SchedulerConfig()
     p = {**frozen, **trainable}
@@ -131,9 +135,19 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
 
     # --- targets: per-frame VAE encode (frozen, fp32), SVD latent scaling
     frames_flat = batch["frames"].reshape(b * f, hh, ww, 3)
-    moments = models.vae.apply({"params": p["vae"]}, frames_flat,
-                               method=models.vae.encode)
-    x0 = moments.sample(rngs[0]).astype(jnp.float32) * scaling
+    chunk = encode_chunk if (b * f) % encode_chunk == 0 else b * f
+
+    def encode_moments(imgs):
+        m = models.vae.apply({"params": p["vae"]}, imgs,
+                             method=models.vae.encode)
+        return m.mean, m.logvar
+
+    mean, logvar = jax.lax.map(
+        encode_moments, frames_flat.reshape(-1, chunk, hh, ww, 3))
+    mean = mean.reshape(b * f, h8, w8, -1).astype(jnp.float32)
+    logvar = logvar.reshape(b * f, h8, w8, -1).astype(jnp.float32)
+    eps0 = jax.random.normal(rngs[0], mean.shape, jnp.float32)
+    x0 = (mean + jnp.exp(0.5 * logvar) * eps0) * scaling
     x0 = x0.reshape(b, f, h8, w8, -1)
 
     # --- conditioning

@@ -50,6 +50,11 @@ def main():
                           num_frames=args.frames)
     trainable_keys = tuple(args.trainable.split(","))
     state, tx = create_train_state(params, cfg, trainable_keys=trainable_keys)
+    # frozen weights carry no optimizer state and may live in bf16 (the
+    # fp32-island modules upcast per-op, like the reference's fp16 weights)
+    state = state._replace(frozen=jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        state.frozen))
     step = make_train_step(models, tx, cfg, pipe, donate=False)
 
     b, f, h, w = args.batch, args.frames, args.height, args.width
