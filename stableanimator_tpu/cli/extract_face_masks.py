@@ -10,7 +10,6 @@ import argparse
 import os
 
 import cv2
-import numpy as np
 
 
 def parse_args():

@@ -26,7 +26,7 @@ Layout rules:
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Mapping
+from typing import Callable, Mapping
 
 import numpy as np
 

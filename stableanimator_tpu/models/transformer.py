@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from stableanimator_tpu.models.layers import (

@@ -8,8 +8,6 @@ original yolox_l.onnx; geometry stays host-side numpy (tiny).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import cv2
 import numpy as np
 

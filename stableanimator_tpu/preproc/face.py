@@ -14,7 +14,7 @@ XLA graphs, plus numpy geometry:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

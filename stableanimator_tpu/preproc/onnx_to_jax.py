@@ -18,7 +18,7 @@ Notes:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ walking lives in cli/)."""
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

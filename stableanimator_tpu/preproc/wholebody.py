@@ -7,7 +7,7 @@ dwpose_detector.py:11-54.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -33,8 +33,7 @@ inference_pipeline_animation.py:536-540,563,663-671).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +41,8 @@ import optax
 
 from stableanimator_tpu.core.config import PipelineConfig, SchedulerConfig, TrainConfig
 from stableanimator_tpu.diffusion.scheduler import (
-    add_noise,
     edm_loss_weight,
     sample_sigmas_lognormal,
-    scale_model_input,
     timestep_of_sigma,
 )
 from stableanimator_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
