@@ -192,6 +192,7 @@ class SpatioTemporalResBlock(nn.Module):
     """
 
     out_channels: int
+    num_frames: int
     eps: float = 1e-6
     temporal_eps: Optional[float] = None
     merge_factor: float = 0.5
@@ -200,7 +201,8 @@ class SpatioTemporalResBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, temb=None, *, num_frames: int):
+    def __call__(self, x, temb=None):
+        num_frames = self.num_frames
         h = ResnetBlock2D(self.out_channels, eps=self.eps, use_temb=self.use_temb,
                           dtype=self.dtype, name="spatial_res_block")(x, temb)
         n, hh, ww, c = h.shape

@@ -215,13 +215,15 @@ class TransformerSpatioTemporalModel(nn.Module):
 
     heads: int
     dim_head: int
+    num_frames: int = 1
     num_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, context, *, num_frames: int):
+    def __call__(self, x, context):
+        num_frames = self.num_frames
         n, hh, ww, c_in = x.shape
         b = n // num_frames
         inner = self.heads * self.dim_head

@@ -42,6 +42,15 @@ from stableanimator_tpu.models.transformer import TransformerSpatioTemporalModel
 Dtype = jnp.dtype
 
 
+def _maybe_remat(cls, remat: bool, static_argnums=()):
+    """Gradient checkpointing at sub-block granularity: rematerialising a
+    whole multi-layer UNet block holds all of its GEGLU intermediates live
+    at once during the backward recompute (~2 GB at the 64^2 level), so
+    each resnet / transformer is checkpointed individually."""
+    return (nn.remat(cls, prevent_cse=False, static_argnums=static_argnums)
+            if remat else cls)
+
+
 class CrossAttnDownBlock(nn.Module):
     """2 x (SpatioTemporalResBlock -> TransformerSpatioTemporalModel) +
     strided-conv downsample (reference unet.py:1214-1305, resnet eps 1e-6)."""
@@ -54,23 +63,26 @@ class CrossAttnDownBlock(nn.Module):
     num_id_tokens: int = 4
     add_downsample: bool = True
     use_flash: Optional[bool] = None
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, temb, context):
         num_frames = self.num_frames
+        res_cls = _maybe_remat(SpatioTemporalResBlock, self.remat)
+        attn_cls = _maybe_remat(TransformerSpatioTemporalModel, self.remat)
         states = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-6, merge_factor=0.5,
+            x = res_cls(
+                self.out_channels, num_frames, eps=1e-6, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, num_frames=num_frames)
-            x = TransformerSpatioTemporalModel(
-                self.heads, self.out_channels // self.heads,
+            )(x, temb)
+            x = attn_cls(
+                self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
                 dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context, num_frames=num_frames)
+            )(x, context)
             states.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
@@ -86,17 +98,19 @@ class DownBlock(nn.Module):
     out_channels: int
     num_frames: int
     num_layers: int = 2
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, temb):
         num_frames = self.num_frames
+        res_cls = _maybe_remat(SpatioTemporalResBlock, self.remat)
         states = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-5, merge_factor=0.5,
+            x = res_cls(
+                self.out_channels, num_frames, eps=1e-5, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, num_frames=num_frames)
+            )(x, temb)
             states.append(x)
         return x, states
 
@@ -111,22 +125,23 @@ class MidBlock(nn.Module):
     transformer_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, temb, context):
         num_frames = self.num_frames
-        x = SpatioTemporalResBlock(self.channels, eps=1e-5, merge_factor=0.5,
-                                   dtype=self.dtype, name="resnets_0")(
-            x, temb, num_frames=num_frames)
-        x = TransformerSpatioTemporalModel(
-            self.heads, self.channels // self.heads,
+        res_cls = _maybe_remat(SpatioTemporalResBlock, self.remat)
+        attn_cls = _maybe_remat(TransformerSpatioTemporalModel, self.remat)
+        x = res_cls(self.channels, num_frames, eps=1e-5, merge_factor=0.5,
+                    dtype=self.dtype, name="resnets_0")(x, temb)
+        x = attn_cls(
+            self.heads, self.channels // self.heads, num_frames,
             num_layers=self.transformer_layers, num_id_tokens=self.num_id_tokens,
             use_flash=self.use_flash, dtype=self.dtype, name="attentions_0",
-        )(x, context, num_frames=num_frames)
-        x = SpatioTemporalResBlock(self.channels, eps=1e-5, merge_factor=0.5,
-                                   dtype=self.dtype, name="resnets_1")(
-            x, temb, num_frames=num_frames)
+        )(x, context)
+        x = res_cls(self.channels, num_frames, eps=1e-5, merge_factor=0.5,
+                    dtype=self.dtype, name="resnets_1")(x, temb)
         return x
 
 
@@ -139,17 +154,19 @@ class UpBlock(nn.Module):
     num_frames: int
     num_layers: int = 3
     add_upsample: bool = True
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, skips, temb):
         num_frames = self.num_frames
+        res_cls = _maybe_remat(SpatioTemporalResBlock, self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips[self.num_layers - 1 - i]], axis=-1)
-            x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-6, merge_factor=0.5,
+            x = res_cls(
+                self.out_channels, num_frames, eps=1e-6, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, num_frames=num_frames)
+            )(x, temb)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -168,23 +185,26 @@ class CrossAttnUpBlock(nn.Module):
     num_id_tokens: int = 4
     add_upsample: bool = True
     use_flash: Optional[bool] = None
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
         num_frames = self.num_frames
+        res_cls = _maybe_remat(SpatioTemporalResBlock, self.remat)
+        attn_cls = _maybe_remat(TransformerSpatioTemporalModel, self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips[self.num_layers - 1 - i]], axis=-1)
-            x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-6, merge_factor=0.5,
+            x = res_cls(
+                self.out_channels, num_frames, eps=1e-6, merge_factor=0.5,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, num_frames=num_frames)
-            x = TransformerSpatioTemporalModel(
-                self.heads, self.out_channels // self.heads,
+            )(x, temb)
+            x = attn_cls(
+                self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
                 dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context, num_frames=num_frames)
+            )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -213,10 +233,7 @@ class UNetSpatioTemporal(nn.Module):
                  pose_latents=None):
         cfg = self.config
 
-        # gradient checkpointing at the block boundary (the reference's
-        # enable_gradient_checkpointing; inference_basic.py:480-481)
-        def maybe_remat(cls):
-            return nn.remat(cls, prevent_cse=False) if self.remat else cls
+
         b, f, hh, ww, _ = sample.shape
 
         # 1. time + added-conditioning embeddings (fp32 islands; reference
@@ -247,19 +264,19 @@ class UNetSpatioTemporal(nn.Module):
         # 3. down path
         for i, block_type in enumerate(cfg.down_block_types):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                x, states = maybe_remat(CrossAttnDownBlock)(
+                x, states = CrossAttnDownBlock(
                     cfg.block_out_channels[i], cfg.num_attention_heads[i], f,
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens,
                     add_downsample=i < len(cfg.block_out_channels) - 1,
-                    use_flash=self.use_flash, dtype=self.dtype,
-                    name=f"down_blocks_{i}",
+                    use_flash=self.use_flash, remat=self.remat,
+                    dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb, context)
             elif block_type == "DownBlockSpatioTemporal":
-                x, states = maybe_remat(DownBlock)(
+                x, states = DownBlock(
                     cfg.block_out_channels[i], f,
-                    num_layers=cfg.layers_per_block,
+                    num_layers=cfg.layers_per_block, remat=self.remat,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb)
             else:
@@ -267,11 +284,12 @@ class UNetSpatioTemporal(nn.Module):
             skips.extend(states)
 
         # 4. mid
-        x = maybe_remat(MidBlock)(
+        x = MidBlock(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1], f,
             transformer_layers=cfg.transformer_layers_per_block,
             num_id_tokens=cfg.num_id_tokens, use_flash=self.use_flash,
-            dtype=self.dtype, name="mid_block")(x, emb, context)
+            remat=self.remat, dtype=self.dtype, name="mid_block")(
+            x, emb, context)
 
         # 5. up path (reversed channel order; reference unet.py:133-168)
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -282,17 +300,18 @@ class UNetSpatioTemporal(nn.Module):
             block_skips = tuple(skips[-n_up:])
             del skips[-n_up:]
             if block_type == "UpBlockSpatioTemporal":
-                x = maybe_remat(UpBlock)(
+                x = UpBlock(
                     rev_channels[i], f, num_layers=n_up,
-                    add_upsample=add_up, dtype=self.dtype,
+                    add_upsample=add_up, remat=self.remat, dtype=self.dtype,
                     name=f"up_blocks_{i}")(x, block_skips, emb)
             elif block_type == "CrossAttnUpBlockSpatioTemporal":
-                x = maybe_remat(CrossAttnUpBlock)(
+                x = CrossAttnUpBlock(
                     rev_channels[i], rev_heads[i], f, num_layers=n_up,
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens, add_upsample=add_up,
-                    use_flash=self.use_flash, dtype=self.dtype,
-                    name=f"up_blocks_{i}")(x, block_skips, emb, context)
+                    use_flash=self.use_flash, remat=self.remat,
+                    dtype=self.dtype, name=f"up_blocks_{i}")(
+                    x, block_skips, emb, context)
             else:
                 raise ValueError(block_type)
 

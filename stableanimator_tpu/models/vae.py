@@ -113,21 +113,21 @@ class TemporalDecoder(nn.Module):
 
         def st_block(ch, name):
             return SpatioTemporalResBlock(
-                ch, eps=1e-6, temporal_eps=1e-5, merge_factor=0.0,
+                ch, num_frames, eps=1e-6, temporal_eps=1e-5, merge_factor=0.0,
                 use_temb=False, reverse_time_mix=True, dtype=self.dtype, name=name)
 
         x = nn.Conv(mid_ch, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_in")(z)
 
         # mid: resnets[0] -> attn -> resnets[1] (reference vae.py:594-612)
-        x = st_block(mid_ch, "mid_block_resnets_0")(x, num_frames=num_frames)
+        x = st_block(mid_ch, "mid_block_resnets_0")(x)
         x = VAEAttention(mid_ch, dtype=self.dtype, name="mid_block_attentions_0")(x)
-        x = st_block(mid_ch, "mid_block_resnets_1")(x, num_frames=num_frames)
+        x = st_block(mid_ch, "mid_block_resnets_1")(x)
 
         rev = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                x = st_block(ch, f"up_blocks_{i}_resnets_{j}")(x, num_frames=num_frames)
+                x = st_block(ch, f"up_blocks_{i}_resnets_{j}")(x)
             if i < len(rev) - 1:
                 x = Upsample2D(ch, dtype=self.dtype,
                                name=f"up_blocks_{i}_upsamplers_0")(x)
