@@ -173,10 +173,12 @@ class TemporalBasicTransformerBlock(nn.Module):
 
     heads: int
     dim_head: int
+    num_frames: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, time_context, *, num_frames: int, frame_emb=None):
+    def __call__(self, x, time_context, frame_emb=None):
+        num_frames = self.num_frames
         n, s, c = x.shape
         b = n // num_frames
         # [B*F, S, C] -> [B*S, F, C]. The transpose is a pure copy; the
@@ -219,6 +221,7 @@ class TransformerSpatioTemporalModel(nn.Module):
     num_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -253,8 +256,12 @@ class TransformerSpatioTemporalModel(nn.Module):
 
         # one blender shared by all layers (reference unet.py:614,693)
         time_mixer = AlphaBlender(0.5, name="time_mixer")
+        spatial_cls = (nn.remat(BasicTransformerBlock, prevent_cse=False)
+                       if self.remat else BasicTransformerBlock)
+        temporal_cls = (nn.remat(TemporalBasicTransformerBlock, prevent_cse=False)
+                        if self.remat else TemporalBasicTransformerBlock)
         for i in range(self.num_layers):
-            h = BasicTransformerBlock(
+            h = spatial_cls(
                 self.heads, self.dim_head, num_id_tokens=self.num_id_tokens,
                 use_flash=self.use_flash, dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
@@ -262,10 +269,10 @@ class TransformerSpatioTemporalModel(nn.Module):
             # the reference computes (h + emb) before the temporal block
             # (unet.py:686); the add happens inside, post-transpose —
             # identical math, better fusion
-            h_mix = TemporalBasicTransformerBlock(
-                self.heads, self.dim_head, dtype=self.dtype,
+            h_mix = temporal_cls(
+                self.heads, self.dim_head, num_frames, dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h, time_context, num_frames=num_frames, frame_emb=emb)
+            )(h, time_context, emb)
             h = time_mixer(h, h_mix)
 
         h = nn.Dense(c_in, dtype=self.dtype, param_dtype=jnp.float32,

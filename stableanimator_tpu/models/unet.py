@@ -81,7 +81,7 @@ class CrossAttnDownBlock(nn.Module):
                 self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
-                dtype=self.dtype, name=f"attentions_{i}",
+                remat=self.remat, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             states.append(x)
         if self.add_downsample:
@@ -138,7 +138,8 @@ class MidBlock(nn.Module):
         x = attn_cls(
             self.heads, self.channels // self.heads, num_frames,
             num_layers=self.transformer_layers, num_id_tokens=self.num_id_tokens,
-            use_flash=self.use_flash, dtype=self.dtype, name="attentions_0",
+            use_flash=self.use_flash, remat=self.remat, dtype=self.dtype,
+            name="attentions_0",
         )(x, context)
         x = res_cls(self.channels, num_frames, eps=1e-5, merge_factor=0.5,
                     dtype=self.dtype, name="resnets_1")(x, temb)
@@ -203,7 +204,7 @@ class CrossAttnUpBlock(nn.Module):
                 self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
-                dtype=self.dtype, name=f"attentions_{i}",
+                remat=self.remat, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
