@@ -55,6 +55,11 @@ def main():
     state = state._replace(frozen=jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         state.frozen))
+    # free the fp32 originals — keeping them alive doubles param HBM
+    del params
+    import gc
+
+    gc.collect()
     step = make_train_step(models, tx, cfg, pipe, donate=False)
 
     b, f, h, w = args.batch, args.frames, args.height, args.width
