@@ -37,17 +37,21 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
                        keepdims=True)
     var = jnp.maximum(mean_sq - lax.square(mean), 0.0)
     inv = lax.rsqrt(var + eps)                         # [n, 1, G, 1] fp32
-    # fold per-group stats with per-channel affine: out = x * a + b
+    # fold per-group stats with per-channel affine: out = x * a + b.
+    # a/b are tiny and computed fp32; the apply runs in the input dtype so
+    # no fp32 copy of x is ever materialised (a 4.5 GB tensor at the VAE
+    # decoder's 576x1024 level-0).
     scale32 = scale.astype(jnp.float32).reshape(1, 1, num_groups, c // num_groups)
     bias32 = bias.astype(jnp.float32).reshape(1, 1, num_groups, c // num_groups)
-    a = (inv * scale32)
-    b = (bias32 - mean * a)
-    out = xg.astype(jnp.float32) * a + b
-    return out.reshape(x.shape).astype(orig_dtype)
+    a = (inv * scale32).astype(orig_dtype)
+    b = (bias32 - mean * (inv * scale32)).astype(orig_dtype)
+    out = xg * a + b
+    return out.reshape(x.shape)
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-5):
-    """LayerNorm over the last axis; fp32 statistics, fused affine apply."""
+    """LayerNorm over the last axis; fp32 statistics, fused affine apply in
+    the input dtype (no fp32 copy of x)."""
     orig_dtype = x.dtype
     mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
     mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -55,5 +59,5 @@ def layer_norm(x, scale, bias, eps: float = 1e-5):
     inv = lax.rsqrt(var + eps)
     a = inv * (scale.astype(jnp.float32) if scale is not None else 1.0)
     b = -mean * a + (bias.astype(jnp.float32) if bias is not None else 0.0)
-    out = x.astype(jnp.float32) * a + b
-    return out.astype(orig_dtype)
+    out = x * a.astype(orig_dtype) + b.astype(orig_dtype)
+    return out

@@ -288,12 +288,23 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
         chunk = f  # fall back to one chunk (static decision)
     z = latents[0] / models.vae.config.scaling_factor
     if mesh is not None:
+        # multi-chip: chunks shard across devices, decode them all at once
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         z = jax.lax.with_sharding_constraint(
             z, NamedSharding(mesh, P(("data", "frame"))))
-    frames = models.vae.apply({"params": params["vae"]}, z,
-                              num_frames=chunk, method=models.vae.decode)
+        frames = models.vae.apply({"params": params["vae"]}, z,
+                                  num_frames=chunk, method=models.vae.decode)
+    else:
+        # single chip: decode chunks sequentially like the reference
+        # (inference_pipeline_animation.py:338) — at 576x1024 the batched
+        # decoder's level-0 activations alone exceed HBM
+        def decode_chunk(zc):
+            return models.vae.apply({"params": params["vae"]}, zc,
+                                    num_frames=chunk, method=models.vae.decode)
+
+        frames = jax.lax.map(decode_chunk, z.reshape(f // chunk, chunk, *z.shape[1:]))
+        frames = frames.reshape(f, *frames.shape[2:])
     frames = frames.astype(jnp.float32)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
 
