@@ -295,10 +295,14 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
             z, NamedSharding(mesh, P(("data", "frame"))))
         frames = models.vae.apply({"params": params["vae"]}, z,
                                   num_frames=chunk, method=models.vae.decode)
+    elif f * latents.shape[2] * latents.shape[3] <= 16 * 64 * 64:
+        # small enough to decode every chunk in one batch (fastest)
+        frames = models.vae.apply({"params": params["vae"]}, z,
+                                  num_frames=chunk, method=models.vae.decode)
     else:
-        # single chip: decode chunks sequentially like the reference
-        # (inference_pipeline_animation.py:338) — at 576x1024 the batched
-        # decoder's level-0 activations alone exceed HBM
+        # single chip, large output: decode chunks sequentially like the
+        # reference (inference_pipeline_animation.py:338) — at 576x1024 the
+        # batched decoder's level-0 activations alone exceed HBM
         def decode_chunk(zc):
             return models.vae.apply({"params": params["vae"]}, zc,
                                     num_frames=chunk, method=models.vae.decode)
