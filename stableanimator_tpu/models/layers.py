@@ -117,6 +117,25 @@ class AlphaBlender(nn.Module):
         return alpha * x_spatial + (1.0 - alpha) * x_temporal
 
 
+class AlphaScalar(nn.Module):
+    """The AlphaBlender's sigmoid mix scalar by itself (same parameter name
+    and path, so checkpoints are interchangeable); callers apply the blend
+    where the layout suits them."""
+
+    alpha_init: float = 0.5
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self):
+        mix = self.param(
+            "mix_factor",
+            lambda key, shape: jnp.full(shape, self.alpha_init, dtype=jnp.float32),
+            (1,),
+        )
+        alpha = jax.nn.sigmoid(mix.astype(jnp.float32))
+        return (1.0 - alpha) if self.reverse else alpha
+
+
 class ResnetBlock2D(nn.Module):
     """GroupNorm/SiLU/conv x2 with optional time-embedding add and 1x1
     shortcut on channel change (reference unet.py:1610-1686, vae.py:784-831).

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from stableanimator_tpu.models.layers import (
-    AlphaBlender,
+    AlphaScalar,
     FeedForward,
     GroupNorm,
     LayerNorm,
@@ -177,7 +177,11 @@ class TemporalBasicTransformerBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, time_context, frame_emb=None):
+    def __call__(self, x, time_context, frame_emb=None, mix_alpha=None):
+        """mix_alpha: optional scalar a — when given, the module returns
+        a * x + (1 - a) * temporal_out with the blend computed in the
+        temporal layout (identical math to blending after the exit
+        transpose, but the elementwise never fuses into a strided copy)."""
         num_frames = self.num_frames
         n, s, c = x.shape
         b = n // num_frames
@@ -185,7 +189,8 @@ class TemporalBasicTransformerBlock(nn.Module):
         # frame positional embedding is added afterwards in the temporal
         # layout (identical math, but it fuses with the next op instead of
         # turning the transpose into a slow strided elementwise fusion).
-        h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+        x_t = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+        h = x_t
         if frame_emb is not None:
             # frame_emb [B*F, 1, C] -> [B, 1, F, C] broadcast over S
             fe = frame_emb.reshape(b, num_frames, c)[:, None, :, :]
@@ -205,6 +210,9 @@ class TemporalBasicTransformerBlock(nn.Module):
         hn = LayerNorm(name="norm3")(h)
         h = h + FeedForward(dtype=self.dtype, name="ff")(hn)
 
+        if mix_alpha is not None:
+            a = mix_alpha.astype(h.dtype)
+            h = a * x_t + (1.0 - a) * h
         return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(n, s, c)
 
 
@@ -254,8 +262,10 @@ class TransformerSpatioTemporalModel(nn.Module):
                                 name="time_pos_embed")(t_emb)
         emb = emb[:, None, :]
 
-        # one blender shared by all layers (reference unet.py:614,693)
-        time_mixer = AlphaBlender(0.5, name="time_mixer")
+        # one blender shared by all layers (reference unet.py:614,693);
+        # only its sigmoid scalar is needed — the blend itself happens in
+        # the temporal layout inside the block (identical math)
+        alpha = AlphaScalar(0.5, name="time_mixer")()
         spatial_cls = (nn.remat(BasicTransformerBlock, prevent_cse=False)
                        if self.remat else BasicTransformerBlock)
         temporal_cls = (nn.remat(TemporalBasicTransformerBlock, prevent_cse=False)
@@ -269,11 +279,10 @@ class TransformerSpatioTemporalModel(nn.Module):
             # the reference computes (h + emb) before the temporal block
             # (unet.py:686); the add happens inside, post-transpose —
             # identical math, better fusion
-            h_mix = temporal_cls(
+            h = temporal_cls(
                 self.heads, self.dim_head, num_frames, dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h, time_context, emb)
-            h = time_mixer(h, h_mix)
+            )(h, time_context, emb, alpha)
 
         h = nn.Dense(c_in, dtype=self.dtype, param_dtype=jnp.float32,
                      name="proj_out")(h)

@@ -46,10 +46,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_blocks(q_len: int, kv_len: int):
-    # block_q 256 keeps the per-head fp32 score tile at 1 MB so the fused
-    # forward kernel (full K/V resident in VMEM) stays under the 16 MB
-    # scoped-vmem limit at seq 4096 x H*D 320.
-    block_q = min(256, _round_up(q_len, 128))
+    # With K/V streamed via the grid, VMEM holds only one q block + double-
+    # buffered K/V tiles; block_q 512 halves the number of K/V streaming
+    # passes versus 256 (K/V re-streams once per q block).
+    block_q = min(512, _round_up(q_len, 128))
     block_k = min(1024, _round_up(kv_len, 128))
     return block_q, block_k
 
