@@ -105,11 +105,58 @@ def _op_avgpool(node, x):
     return summed / counts
 
 
+def _resize_1d_indices(in_dim, out_dim, scale, coord_mode):
+    """x_original coordinate for each output index (ONNX Resize spec)."""
+    i = np.arange(out_dim, dtype=np.float64)
+    if coord_mode == "align_corners":
+        if out_dim == 1:
+            return np.zeros(1)
+        return i * (in_dim - 1) / (out_dim - 1)
+    if coord_mode == "asymmetric":
+        return i / scale
+    if coord_mode == "pytorch_half_pixel":
+        return (i + 0.5) / scale - 0.5 if out_dim > 1 else np.zeros(out_dim)
+    # default: half_pixel
+    return (i + 0.5) / scale - 0.5
+
+
+def _resize_axis(x, axis, out_dim, scale, mode, coord_mode, nearest_mode):
+    in_dim = x.shape[axis]
+    if in_dim == out_dim:
+        return x
+    coords = _resize_1d_indices(in_dim, out_dim, scale, coord_mode)
+    if mode == "nearest":
+        if nearest_mode == "floor":
+            idx = np.floor(coords)
+        elif nearest_mode == "ceil":
+            idx = np.ceil(coords)
+        elif nearest_mode == "round_prefer_ceil":
+            idx = np.floor(coords + 0.5)
+        else:  # round_prefer_floor (default)
+            idx = np.ceil(coords - 0.5)
+        idx = np.clip(idx, 0, in_dim - 1).astype(np.int32)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+    # linear: gather the two neighbours and lerp
+    lo = np.clip(np.floor(coords), 0, in_dim - 1).astype(np.int32)
+    hi = np.clip(lo + 1, 0, in_dim - 1)
+    w = np.clip(coords - lo, 0.0, 1.0).astype(np.float32)
+    shape = [1] * x.ndim
+    shape[axis] = out_dim
+    wj = jnp.asarray(w).reshape(shape)
+    xlo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xhi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    return xlo * (1.0 - wj) + xhi * wj
+
+
 def _op_resize(node, x, *rest):
     # inputs: X, roi?, scales?, sizes?
-    mode = node.attrs.get("mode", "nearest")
-    if isinstance(mode, bytes):
-        mode = mode.decode()
+    def dec(v, default):
+        v = node.attrs.get(v, default)
+        return v.decode() if isinstance(v, bytes) else v
+
+    mode = dec("mode", "nearest")
+    coord_mode = dec("coordinate_transformation_mode", "half_pixel")
+    nearest_mode = dec("nearest_mode", "round_prefer_floor")
     scales = sizes = None
     rest = list(rest)
     if len(rest) >= 1 and rest[0] is not None and np.size(rest[0]):
@@ -119,9 +166,17 @@ def _op_resize(node, x, *rest):
     if len(rest) >= 3 and rest[2] is not None and np.size(rest[2]):
         sizes = [int(v) for v in np.asarray(rest[2])]
     if sizes is None:
-        sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
-    method = {"nearest": "nearest", "linear": "bilinear", "cubic": "bicubic"}[mode]
-    return jax.image.resize(x, tuple(sizes), method=method)
+        sizes = [int(np.floor(d * s)) for d, s in zip(x.shape, scales)]
+    if scales is None:
+        scales = [o / d for o, d in zip(sizes, x.shape)]
+    if mode == "cubic":
+        # bicubic only appears with half_pixel in the wild; jax matches
+        return jax.image.resize(x, tuple(sizes), method="bicubic")
+    out = x
+    for axis, (out_dim, scale) in enumerate(zip(sizes, scales)):
+        out = _resize_axis(out, axis, out_dim, scale, mode, coord_mode,
+                           nearest_mode)
+    return out
 
 
 def _op_batchnorm(node, x, scale, bias, mean, var):
@@ -407,6 +462,39 @@ class OnnxFunction:
             approx = node.attrs.get("approximate", "none")
             approx = approx.decode() if isinstance(approx, bytes) else approx
             return jax.nn.gelu(args[0], approximate=approx == "tanh")
+        if op == "Mod":
+            if int(node.attrs.get("fmod", 0)):
+                return jnp.fmod(args[0], args[1])
+            return jnp.mod(args[0], args[1])
+        if op == "Reciprocal":
+            return 1.0 / args[0]
+        if op == "Sign":
+            return jnp.sign(args[0])
+        if op == "Sin":
+            return jnp.sin(args[0])
+        if op == "Cos":
+            return jnp.cos(args[0])
+        if op == "ReduceMin":
+            return self._reduce(jnp.min, node, args)
+        if op == "ReduceProd":
+            return self._reduce(jnp.prod, node, args)
+        if op == "ArgMin":
+            axis = int(node.attrs.get("axis", 0))
+            keep = bool(int(node.attrs.get("keepdims", 1)))
+            out = jnp.argmin(args[0], axis=axis).astype(jnp.int64)
+            return jnp.expand_dims(out, axis) if keep else out
+        if op == "TopK":
+            # k must be a host value (standard in detector graphs)
+            k = int(np.asarray(args[1]).reshape(-1)[0])
+            axis = int(node.attrs.get("axis", -1))
+            largest = int(node.attrs.get("largest", 1))
+            x = jnp.asarray(args[0])
+            x_m = jnp.moveaxis(x, axis, -1)
+            vals, idx = jax.lax.top_k(x_m if largest else -x_m, k)
+            if not largest:
+                vals = -vals
+            return (jnp.moveaxis(vals, -1, axis),
+                    jnp.moveaxis(idx.astype(jnp.int64), -1, axis))
         if op == "InstanceNormalization":
             eps = float(node.attrs.get("epsilon", 1e-5))
             x = args[0]
