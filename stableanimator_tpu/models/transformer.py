@@ -66,13 +66,30 @@ class Attention(nn.Module):
         inner = self.heads * self.dim_head
         if context is None:
             context = x
+        n, sq, _ = x.shape
+        if context.shape[1] == 1:
+            # Exact shortcut: softmax over a single key is identically 1, so
+            # the output is just to_out(to_v(context)) broadcast over the
+            # query axis — q/k never influence the value (and their grads
+            # are exactly zero). This is the temporal cross-attention case:
+            # time_context is one CLIP token (reference unet.py:640-654).
+            # to_q/to_k params are still created for checkpoint parity; the
+            # dummy row is dead code XLA eliminates.
+            nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_q")(x[:, :1])
+            nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="to_v")(context)
+            o = nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="to_out")(v)
+            return jnp.broadcast_to(o, (n, sq, self.out_dim))
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_v")(context)
-        n, sq, _ = q.shape
         sk = k.shape[1]
         q = q.reshape(n, sq, self.heads, self.dim_head)
         k = k.reshape(n, sk, self.heads, self.dim_head)
@@ -116,6 +133,10 @@ class IDCrossAttention(nn.Module):
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          param_dtype=jnp.float32, name=v_name)(ctx)
             sk = k.shape[1]
+            if sk == 1:
+                # softmax over one key == 1 exactly; q/k are dead math
+                # (the single-CLIP-token base stream at inference)
+                return jnp.broadcast_to(v, (n, sq, inner))
             k = k.reshape(n, sk, self.heads, self.dim_head)
             v = v.reshape(n, sk, self.heads, self.dim_head)
             o = dot_product_attention(q, k, v, use_flash=False)  # kv is tiny

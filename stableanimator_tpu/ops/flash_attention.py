@@ -109,6 +109,132 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
                     lse, (lse_ref.shape[1], d)).astype(lse_ref.dtype)
 
 
+def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                         scale, heads_per_step, block_k, kv_len, with_lse):
+    """Resident-KV forward: grid (batch, head-pair, q-block). K/V columns for
+    `heads_per_step` heads live in VMEM for the whole q sweep (their
+    index_map is constant along the q axis, so Pallas fetches them once per
+    (batch, head-pair)), eliminating the K/V re-streaming of the streamed
+    kernel (~8x less HBM traffic at S=4096). Online softmax runs in an
+    internal fori_loop over kv chunks; no cross-step scratch needed."""
+    hpd = q_ref.shape[-1]              # heads_per_step * d
+    d = hpd // heads_per_step
+    kv_pad = k_ref.shape[1]
+    num_kv = kv_pad // block_k
+    block_q = q_ref.shape[1]
+
+    for hi in range(heads_per_step):
+        lo = hi * d
+        q = q_ref[0, :, lo:lo + d]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+
+        def body(j, carry):
+            acc, m_prev, l_prev = carry
+            k_blk = k_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
+            v_blk = v_ref[0, pl.ds(j * block_k, block_k), lo:lo + d]
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [block_q, block_k]
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where(col < kv_len, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_new, m_new, l_new
+
+        acc, m, l = jax.lax.fori_loop(
+            0, num_kv, body,
+            (jnp.zeros((block_q, d), jnp.float32),
+             jnp.full((block_q, 1), NEG_INF, jnp.float32),
+             jnp.zeros((block_q, 1), jnp.float32)))
+        o_ref[0, :, lo:lo + d] = (acc / l).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, :, lo:lo + d] = jnp.broadcast_to(
+                m + jnp.log(l), (block_q, d)).astype(lse_ref.dtype)
+
+
+def _resident_heads_per_step(h: int, d: int):
+    """(heads_per_step, padded_head_count) for the resident kernel. Mosaic
+    requires the lane-axis block size to be a multiple of 128 (or the whole
+    array dim), so for d=64 heads are processed in pairs and an odd head
+    count is zero-padded up to even — the padded head's outputs are sliced
+    away; its K/V zeros never mix into real heads (per-head softmax)."""
+    if d % 128 == 0:
+        return 1, h
+    if 128 % d == 0:
+        per = 128 // d
+        return per, -(-h // per) * per
+    return h, h  # full fused head axis == whole array dim (always legal)
+
+
+def _flash_fwd_resident(q, k, v, scale, interpret, with_lse):
+    """Forward via the resident-KV kernel. Used when one head-step's K/V
+    column slice fits comfortably in VMEM (always true for this model's
+    shapes). Heads are processed `heads_per_step` at a time so the lane
+    axis stays a full 128 (d=64)."""
+    b, q_len, h, d = q.shape
+    kv_len = k.shape[1]
+    heads_per_step, h_pad = _resident_heads_per_step(h, d)
+    hsteps = h_pad // heads_per_step
+    block_q, block_k = _pick_blocks(q_len, kv_len)
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    def prep(x, target):
+        if h_pad != h:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
+        x = x.reshape(x.shape[0], x.shape[1], h_pad * d)
+        if target != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q, q_pad), prep(k, kv_pad), prep(v, kv_pad)
+
+    hpd = heads_per_step * d
+    grid = (b, hsteps, q_pad // block_q)
+    sk = _spec_kwargs()
+    q_spec = pl.BlockSpec((1, block_q, hpd),
+                          lambda bi, hi, i: (bi, i, hi), **sk)
+    kv_spec = pl.BlockSpec((1, kv_pad, hpd),
+                           lambda bi, hi, i: (bi, 0, hi), **sk)
+
+    kernel = functools.partial(
+        _fwd_kernel_resident, scale=scale, heads_per_step=heads_per_step,
+        block_k=block_k, kv_len=kv_len, with_lse=with_lse)
+    lse_rows = q_pad if with_lse else block_q
+    lse_spec = pl.BlockSpec((1, block_q, hpd),
+                            (lambda bi, hi, i: (bi, i, hi)) if with_lse
+                            else (lambda bi, hi, i: (bi, 0, hi)), **sk)
+    o, lse = pl.pallas_call(
+        kernel, grid=grid, in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=(q_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, q_pad, h_pad * d), q.dtype),
+                   jax.ShapeDtypeStruct((b, lse_rows, h_pad * d), jnp.float32)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    o = o[:, :q_len].reshape(b, q_len, h_pad, d)[:, :, :h]
+    if with_lse:
+        return o, lse[:, :q_len].reshape(b, q_len, h_pad, d)[:, :, :h, :1]
+    return o
+
+
+# one head-pair's K/V column slice (double-buffered by pallas) + per-head
+# temporaries must fit VMEM; 4 MB of K/V columns leaves ample headroom.
+_RESIDENT_KV_MAX_BYTES = 4 * 1024 * 1024
+
+
+def _use_resident(q, k):
+    d = q.shape[-1]
+    heads_per_step, _ = _resident_heads_per_step(q.shape[2], d)
+    kv_pad = _round_up(k.shape[1], _pick_blocks(q.shape[1], k.shape[1])[1])
+    return (kv_pad * heads_per_step * d * q.dtype.itemsize
+            <= _RESIDENT_KV_MAX_BYTES)
+
+
 def _spec_kwargs():
     return {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
 
@@ -334,13 +460,19 @@ def _flash_bwd(scale, interpret, res, g):
     return from_bh(dq, q_len), from_bh(dk, kv_len), from_bh(dv, kv_len)
 
 
+def _flash_fwd_dispatch(q, k, v, scale, interpret, with_lse):
+    if _use_resident(q, k):
+        return _flash_fwd_resident(q, k, v, scale, interpret, with_lse)
+    return _flash_fwd_bshd(q, k, v, scale, interpret, with_lse)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention_core(q, k, v, scale, interpret):
-    return _flash_fwd_bshd(q, k, v, scale, interpret, with_lse=False)
+    return _flash_fwd_dispatch(q, k, v, scale, interpret, with_lse=False)
 
 
 def _flash_attention_fwd(q, k, v, scale, interpret):
-    o, lse = _flash_fwd_bshd(q, k, v, scale, interpret, with_lse=True)
+    o, lse = _flash_fwd_dispatch(q, k, v, scale, interpret, with_lse=True)
     return o, (q, k, v, o, lse)
 
 

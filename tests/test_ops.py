@@ -154,3 +154,46 @@ class TestResize:
         ref = F.conv2d(tmp, ky.view(1, 1, -1, 1).expand(c, 1, -1, 1), groups=c)
         ref = ref.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFlashKernelVariants:
+    """Both forward kernels (streamed-KV and resident-KV) must match XLA for
+    the model's head counts (odd 5, even 2/10) and unpadded lengths."""
+
+    @pytest.mark.parametrize("h", [1, 2, 5])
+    @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 513)])
+    def test_streamed_matches_xla(self, h, sq, sk):
+        from stableanimator_tpu.ops.flash_attention import _flash_fwd_bshd
+
+        q = jnp.asarray(_rand(2, sq, h, 64, seed=11))
+        k = jnp.asarray(_rand(2, sk, h, 64, seed=12))
+        v = jnp.asarray(_rand(2, sk, h, 64, seed=13))
+        ref = np.asarray(xla_attention(q, k, v))
+        out = np.asarray(_flash_fwd_bshd(q, k, v, 64 ** -0.5, True, False))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("h", [1, 2, 5])
+    @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 513)])
+    def test_resident_matches_xla(self, h, sq, sk):
+        from stableanimator_tpu.ops.flash_attention import _flash_fwd_resident
+
+        q = jnp.asarray(_rand(2, sq, h, 64, seed=14))
+        k = jnp.asarray(_rand(2, sk, h, 64, seed=15))
+        v = jnp.asarray(_rand(2, sk, h, 64, seed=16))
+        ref = np.asarray(xla_attention(q, k, v))
+        out = np.asarray(_flash_fwd_resident(q, k, v, 64 ** -0.5, True, False))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_resident_lse_matches_streamed(self):
+        from stableanimator_tpu.ops.flash_attention import (
+            _flash_fwd_bshd, _flash_fwd_resident)
+
+        q = jnp.asarray(_rand(1, 300, 2, 64, seed=17))
+        k = jnp.asarray(_rand(1, 300, 2, 64, seed=18))
+        v = jnp.asarray(_rand(1, 300, 2, 64, seed=19))
+        o1, lse1 = _flash_fwd_bshd(q, k, v, 64 ** -0.5, True, True)
+        o2, lse2 = _flash_fwd_resident(q, k, v, 64 ** -0.5, True, True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse2),
+                                   rtol=2e-5, atol=2e-5)

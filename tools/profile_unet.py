@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Device-time profile of the flagship UNet forward (or full generate).
+
+Runs under jax.profiler.trace and parses the captured .xplane.pb directly
+(tensorboard_plugin_profile protobuf), aggregating device time by op
+category so the perf work targets the real bottlenecks.
+
+Usage:
+  python tools/profile_unet.py                 # UNet forward, 512^2 x 16f
+  python tools/profile_unet.py --what generate # full e2e pipeline
+  python tools/profile_unet.py --top 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_traced(fn, logdir):
+    fn()  # compile + warmup
+    t0 = time.time()
+    float(jnp.sum(jax.tree_util.tree_leaves(fn())[0].astype(jnp.float32)))
+    wall = time.time() - t0
+    with jax.profiler.trace(logdir):
+        out = fn()
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    return wall
+
+
+def parse_xplane(logdir, top=30):
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    by_name = collections.Counter()
+    total = 0
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        ev_names = {k: v for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname or "sparse" in lname:
+                continue
+            if not ("xla op" in lname or "ops" in lname or "tensorflow op" in lname
+                    or lname.startswith("xla")):
+                continue
+            for ev in line.events:
+                md = ev_names.get(ev.metadata_id)
+                name = md.name if md else str(ev.metadata_id)
+                dur = ev.duration_ps / 1e9  # ms
+                by_name[name] += dur
+                total += dur
+        if total:
+            break  # first device plane with op events
+
+    def category(name):
+        n = name.lower()
+        if "fusion" in n:
+            if "conv" in n or "dot" in n:
+                return "matmul/conv fusion"
+            return "elementwise fusion"
+        if n.startswith("copy") or "transpose" in n:
+            return "copy/transpose"
+        if "conv" in n or "dot" in n or "einsum" in n:
+            return "matmul/conv"
+        if "custom-call" in n or "pallas" in n or "mosaic" in n:
+            return "pallas/custom"
+        if "all-reduce" in n or "all-gather" in n or "collective" in n:
+            return "collective"
+        if "reduce" in n:
+            return "reduce"
+        return "other"
+
+    by_cat = collections.Counter()
+    for name, dur in by_name.items():
+        by_cat[category(name)] += dur
+
+    print(f"\n=== device total: {total:.1f} ms ===")
+    for cat, dur in by_cat.most_common():
+        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {cat}")
+    print(f"\n=== top {top} ops ===")
+    for name, dur in by_name.most_common(top):
+        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name[:110]}")
+    return by_name, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="unet", choices=["unet", "generate"])
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix="prof_")
+
+    from stableanimator_tpu.core.config import PipelineConfig, UNetConfig
+    from stableanimator_tpu.models.unet import UNetSpatioTemporal
+
+    h8, w8 = args.height // 8, args.width // 8
+    b, f = 2, args.frames
+
+    if args.what == "unet":
+        cfg = UNetConfig()
+        model = UNetSpatioTemporal(cfg, dtype=jnp.bfloat16)
+        sample = jnp.zeros((b, f, h8, w8, cfg.in_channels), jnp.bfloat16)
+        t = jnp.float32(1.6377)
+        ctx = jnp.zeros((b, 5, 1024), jnp.bfloat16)
+        ids = jnp.asarray([[6.0, 127.0, 0.02]] * b, jnp.float32)
+        pose = jnp.zeros((b * f, h8, w8, 320), jnp.bfloat16)
+
+        @jax.jit
+        def init(k):
+            p = model.init(k, sample, t, ctx, ids, pose)
+            return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+        params = init(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def fwd():
+            return model.apply(params, sample, t, ctx, ids, pose)
+
+        wall = run_traced(fwd, logdir)
+        print(f"UNet fwd wall: {wall*1e3:.1f} ms")
+    else:
+        from stableanimator_tpu.pipeline import build_models, generate, init_params
+
+        models = build_models(dtype=jnp.bfloat16)
+        params = jax.jit(lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            init_params(models, k, height=args.height, width=args.width,
+                        num_frames=2)))(jax.random.PRNGKey(0))
+        pcfg = PipelineConfig(height=args.height, width=args.width,
+                              num_frames=f, tile_size=16, tile_overlap=4,
+                              num_inference_steps=25, decode_chunk_size=4)
+        ref = jnp.full((1, args.height, args.width, 3), 0.5, jnp.float32)
+        pose = jnp.full((f, args.height, args.width, 3), -1.0, jnp.float32)
+        face = jnp.zeros((1, 512), jnp.float32)
+
+        def fwd():
+            return generate(models, params, ref, pose, face, pcfg,
+                            rng=jax.random.PRNGKey(1))
+
+        wall = run_traced(fwd, logdir)
+        print(f"generate wall: {wall*1e3:.1f} ms")
+
+    parse_xplane(logdir, args.top)
+    print(f"\ntrace: {logdir}")
+
+
+if __name__ == "__main__":
+    main()
