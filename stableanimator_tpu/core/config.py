@@ -196,6 +196,11 @@ class PipelineConfig:
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     decode_chunk_size: int = 4
+    # Decode all chunks in one batched VAE call when the video's latent
+    # volume (frames x latent pixels) is at most this; above it, chunks run
+    # sequentially — at 576x1024 the batched decoder's level-0 activations
+    # alone exceed one chip's HBM.
+    batched_decode_max_latent_volume: int = 16 * 64 * 64
 
 
 @dataclass(frozen=True)

@@ -2,6 +2,7 @@ from stableanimator_tpu.pipeline.animation import (
     AnimationModels,
     build_models,
     init_params,
+    fast_init_params,
     encode_conditioning,
     denoise,
     decode_frames,

@@ -121,6 +121,56 @@ def init_params(models: AnimationModels, rng, height: int = 64, width: int = 64,
     }
 
 
+def fast_init_params(models: AnimationModels, height: int = 64,
+                     width: int = 64, num_frames: int = 2) -> dict:
+    """Shape-only parameter init: `jax.eval_shape` over the real init graphs
+    (abstract eval — no compile, no execution), then fill each leaf with
+    small deterministic values. Orders of magnitude faster than eager
+    `init_params` (which compiles every init op); for tests / dryruns /
+    benchmarks where the *statistics* of the init don't matter — anything
+    comparing two numerical paths under the same params, validating
+    shardings, or timing compiled steps. Not for training from scratch
+    (zero-init output layers and fan-in scaling matter there)."""
+    shapes = jax.eval_shape(
+        lambda: init_params(models, jax.random.PRNGKey(0),
+                            height=height, width=width,
+                            num_frames=num_frames))
+    counter = [0]
+
+    def fill(path, s):
+        # normalisation scales start at 1 and biases at 0 (as real init
+        # does) so norms behave sanely and gradients flow at real magnitude
+        name = str(path[-1]) if path else ""
+        dt = np.dtype(s.dtype)
+        if "scale" in name:
+            return np.ones(s.shape, dt)
+        if "bias" in name:
+            return np.zeros(s.shape, dt)
+        counter[0] += 1
+        if len(s.shape) >= 2:
+            # lecun-style fan-in scaling (flax kernels are [..., in, out]):
+            # keeps activation magnitudes realistic through deep stacks
+            std = 1.0 / np.sqrt(max(int(np.prod(s.shape[:-1])), 1))
+        else:
+            std = 0.05
+        # per-leaf uniform(±sqrt(3)*std): zero-mean, matched variance, and
+        # fully DEcorrelated across leaves — tiling a shared pool makes
+        # different layers share weights, which coherently amplifies fp32
+        # reduction-order noise ~70x in batched-vs-serial parity tests.
+        # float32 uniform draws are ~5x faster than Gaussian ziggurat
+        # (matters at full model scale: ~2.3B values).
+        rng = np.random.default_rng(counter[0])
+        flat = rng.random(int(np.prod(s.shape)) if s.shape else 1,
+                          dtype=np.float32)
+        flat = (flat - 0.5) * np.float32(2.0 * np.sqrt(3.0) * std)
+        return flat.reshape(s.shape).astype(dt)
+
+    # host (numpy) leaves on purpose: a per-leaf device transfer over the
+    # remote-TPU tunnel costs an RTT each; callers hand the whole tree to a
+    # jitted function (or one jax.device_put), which transfers in bulk.
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 # ---------------------------------------------------------------------------
 # conditioning
 # ---------------------------------------------------------------------------
@@ -283,32 +333,39 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
     decode replacing the reference's serial chunk loop).
     latents [1, F, h, w, 4] -> frames [F, H, W, 3] float32 in [0, 1]."""
     f = latents.shape[1]
-    chunk = cfg.decode_chunk_size
-    if f % chunk != 0:
-        chunk = f  # fall back to one chunk (static decision)
+    chunk = min(cfg.decode_chunk_size, f)
+    rem = f % chunk
+    full = f - rem
     z = latents[0] / models.vae.config.scaling_factor
+
+    def decode(zc, nf):
+        return models.vae.apply({"params": params["vae"]}, zc,
+                                 num_frames=nf, method=models.vae.decode)
+
     if mesh is not None:
         # multi-chip: chunks shard across devices, decode them all at once
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         z = jax.lax.with_sharding_constraint(
             z, NamedSharding(mesh, P(("data", "frame"))))
-        frames = models.vae.apply({"params": params["vae"]}, z,
-                                  num_frames=chunk, method=models.vae.decode)
-    elif f * latents.shape[2] * latents.shape[3] <= 16 * 64 * 64:
-        # small enough to decode every chunk in one batch (fastest)
-        frames = models.vae.apply({"params": params["vae"]}, z,
-                                  num_frames=chunk, method=models.vae.decode)
+        frames = decode(z, chunk) if rem == 0 else jnp.concatenate(
+            [decode(z[:full], chunk), decode(z[full:], rem)])
+    elif f * latents.shape[2] * latents.shape[3] <= cfg.batched_decode_max_latent_volume:
+        # small enough to decode every chunk in one batch (fastest); the
+        # remainder chunk (if any) decodes as its own smaller batch, exactly
+        # like the reference's uneven tail chunk
+        # (inference_pipeline_animation.py:338)
+        frames = decode(z, chunk) if rem == 0 else jnp.concatenate(
+            [decode(z[:full], chunk), decode(z[full:], rem)])
     else:
         # single chip, large output: decode chunks sequentially like the
         # reference (inference_pipeline_animation.py:338) — at 576x1024 the
         # batched decoder's level-0 activations alone exceed HBM
-        def decode_chunk(zc):
-            return models.vae.apply({"params": params["vae"]}, zc,
-                                    num_frames=chunk, method=models.vae.decode)
-
-        frames = jax.lax.map(decode_chunk, z.reshape(f // chunk, chunk, *z.shape[1:]))
-        frames = frames.reshape(f, *frames.shape[2:])
+        frames = jax.lax.map(lambda zc: decode(zc, chunk),
+                             z[:full].reshape(full // chunk, chunk, *z.shape[1:]))
+        frames = frames.reshape(full, *frames.shape[2:])
+        if rem:
+            frames = jnp.concatenate([frames, decode(z[full:], rem)])
     frames = frames.astype(jnp.float32)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
 
