@@ -55,6 +55,15 @@ def parse_args():
                         "inference_basic.py:517-519) — the released "
                         "checkpoints were trained against it. 'standard' "
                         "feeds the recogniser correctly-ordered RGB.")
+    p.add_argument("--face_optimize_steps", type=int, default=0,
+                   help="HJB face-optimization gradient steps per denoise "
+                        "step (paper capability; 0 = off). Needs "
+                        "antelopev2/glintr100.onnx in --checkpoint_dir.")
+    p.add_argument("--face_opt_lr", type=float, default=0.1)
+    p.add_argument("--face_opt_start_step", type=int, default=8,
+                   help="first denoise step to apply face optimization "
+                        "(the face must have formed enough to carry "
+                        "identity)")
     p.add_argument("--init_id_adapter", action="store_true",
                    help="initialise id_to_k/id_to_v from SVD to_k/to_v when "
                         "loading a vanilla SVD unet (reference "
@@ -72,7 +81,7 @@ def load_params(checkpoint_dir: str, models, allow_random_init: bool,
         convert_vae,
     )
     from stableanimator_tpu.convert.torch_to_jax import init_id_adapter_from_svd
-    from stableanimator_tpu.pipeline import init_params
+    from stableanimator_tpu.pipeline import fast_init_params
 
     converters = {
         "unet": ("unet.npz", convert_unet),
@@ -92,8 +101,11 @@ def load_params(checkpoint_dir: str, models, allow_random_init: bool,
             out[key] = converted["params"]
         elif allow_random_init:
             if params is None:
-                params = init_params(models, jax.random.PRNGKey(0),
-                                     height=height, width=width)
+                # shape-only fill: eager init of the full model would issue
+                # thousands of individually-compiled ops over the remote
+                # TPU tunnel (minutes to hours); smoke runs only need
+                # correctly-shaped params
+                params = fast_init_params(models, height=height, width=width)
             print(f"WARNING: {path} missing — using random init for {key}")
             out[key] = params[key]
         else:
@@ -126,15 +138,18 @@ def main():
     models = build_models(dtype=jnp.bfloat16)
     params = load_params(args.checkpoint_dir, models, args.allow_random_init,
                          args.init_id_adapter, args.height, args.width)
+    # bf16 cast on the HOST (numpy): per-leaf device ops over the remote TPU
+    # tunnel would cost a compile + RTT each (thousands of leaves); the cast
+    # tree transfers to the device in one bulk device_put below
     params = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, jnp.bfloat16)
-        if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
+        lambda x: np.asarray(x).astype(jnp.bfloat16)
+        if np.asarray(x).dtype == np.float32 else np.asarray(x), params)
     # the VAE must keep fp32 master weights (encode is an fp32 island)
     if os.path.exists(os.path.join(args.checkpoint_dir, "vae.npz")):
         from stableanimator_tpu.convert import convert_vae
-        params["vae"] = jax.tree_util.tree_map(
-            jnp.asarray,
-            convert_vae(dict(np.load(os.path.join(args.checkpoint_dir, "vae.npz"))))["params"])
+        params["vae"] = convert_vae(
+            dict(np.load(os.path.join(args.checkpoint_dir, "vae.npz"))))["params"]
+    params = jax.device_put(params)
 
     ref_pil = Image.open(args.reference_image).convert("RGB")
     ref_pil_sized = ref_pil.resize((args.width, args.height))
@@ -171,13 +186,39 @@ def main():
         decode_chunk_size=args.decode_chunk_size,
     )
 
+    pose_arr = poses_to_array(pose_images)
+
+    face_opt = None
+    if args.face_optimize_steps > 0:
+        if not os.path.exists(rec_path):
+            print("WARNING: --face_optimize_steps needs "
+                  "antelopev2/glintr100.onnx; face optimization disabled")
+        elif not np.any(emb):
+            print("WARNING: no reference identity embedding; face "
+                  "optimization disabled")
+        else:
+            from stableanimator_tpu.pipeline.face_opt import (
+                FaceOptConfig, make_face_optimizer)
+            from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+            focfg = FaceOptConfig(steps=args.face_optimize_steps,
+                                  lr=args.face_opt_lr,
+                                  start_step=args.face_opt_start_step)
+            face_opt = make_face_optimizer(
+                models, params, focfg, load_onnx_function(rec_path), emb,
+                pose_arr, args.height // 8, args.width // 8,
+                channel_order=args.face_channel_order)
+            print(f"HJB face optimization: {focfg.steps} steps/denoise-step, "
+                  f"lr={focfg.lr}, from denoise step {focfg.start_step}")
+
     t0 = time.time()
     frames = generate(
         models, params,
         jnp.asarray(pil_to_unit_array(ref_pil_sized)),
-        jnp.asarray(poses_to_array(pose_images)),
+        jnp.asarray(pose_arr),
         jnp.asarray(emb[None].astype(np.float32)),
         cfg, rng=jax.random.PRNGKey(args.seed),
+        face_opt=face_opt,
         # CLIP conditions on the original-resolution image (reference
         # inference_pipeline_animation.py:520)
         clip_image=jnp.asarray(pil_to_unit_array(ref_pil)))

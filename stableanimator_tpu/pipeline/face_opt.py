@@ -114,6 +114,63 @@ class FaceOptimizer:
         return jax.lax.cond(active, run, lambda x0: x0, x0_latents)
 
 
+def face_boxes_from_pose_renders(pose_pixels, latent_h: int, latent_w: int,
+                                 crop: int = 16):
+    """Per-frame latent face-crop top-lefts from *rendered* pose images
+    [F, H, W, 3] in [-1, 1]. The face is the only element drawn pure white
+    (skeleton_render.draw_facepose draws (255,255,255) dots; body limbs are
+    hue-coded and pre-dimmed x0.6, hands are HSV-colored), so the
+    white-pixel centroid locates the face. Host-side numpy."""
+    import numpy as np
+
+    arr = np.asarray(pose_pixels)
+    f, hh, ww, _ = arr.shape
+    boxes = []
+    for i in range(f):
+        mask = (arr[i] > 0.85).all(axis=-1)
+        ys, xs = np.nonzero(mask)
+        if len(ys) == 0:
+            cy, cx = latent_h / 2.0, latent_w / 2.0
+        else:
+            cy = ys.mean() / hh * latent_h
+            cx = xs.mean() / ww * latent_w
+        y = int(np.clip(round(cy - crop / 2), 0, max(latent_h - crop, 0)))
+        x = int(np.clip(round(cx - crop / 2), 0, max(latent_w - crop, 0)))
+        boxes.append((y, x))
+    return np.asarray(boxes, np.int32)
+
+
+def make_face_optimizer(models, params, cfg: FaceOptConfig, arcface_fn,
+                        target_embedding, pose_pixels, latent_h: int,
+                        latent_w: int, channel_order: str = "reference"):
+    """Construct a FaceOptimizer from the real pipeline pieces.
+
+    decode_fn wraps the real temporal-VAE decoder and owns the latent
+    scaling (x0 latents live in the x0.18215 space; the decoder expects the
+    unscaled space — reference inference_pipeline_animation.py:326).
+    arcface_fn is typically `load_onnx_function("glintr100.onnx")`; with
+    channel_order="reference" the decoded RGB faces are channel-flipped so
+    the embeddings are computed in the same (quirked) space as the
+    reference identity embedding (see cli/animate.py --face_channel_order).
+    """
+    scaling = models.vae.config.scaling_factor
+
+    def decode_fn(crops, num_frames):
+        return models.vae.apply({"params": params["vae"]}, crops / scaling,
+                                num_frames=num_frames,
+                                method=models.vae.decode)
+
+    def embed_fn(faces_nchw):
+        if channel_order == "reference":
+            faces_nchw = faces_nchw[:, ::-1, :, :]
+        out = arcface_fn(faces_nchw)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    boxes = face_boxes_from_pose_renders(pose_pixels, latent_h, latent_w,
+                                         cfg.latent_crop)
+    return FaceOptimizer(cfg, embed_fn, decode_fn, target_embedding, boxes)
+
+
 def face_boxes_from_pose(faces_keypoints, latent_h: int, latent_w: int,
                          crop: int = 16):
     """Per-frame latent-space face-crop top-lefts from normalised DWPose

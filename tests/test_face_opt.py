@@ -76,22 +76,13 @@ def test_face_boxes_from_pose():
     np.testing.assert_array_equal(boxes, [[24, 24]])
 
 
+@pytest.mark.slow
 def test_generate_with_face_opt_runs_and_differs(tiny_setup=None):
-    from tests.test_pipeline import tiny_setup as fixture  # reuse builder
-    import dataclasses as dc
+    from tests.conftest import build_micro_models
+    from stableanimator_tpu.pipeline import generate, fast_init_params
 
-    from stableanimator_tpu.core.config import (
-        CLIPVisionConfig, FaceEncoderConfig, PoseNetConfig, UNetConfig, VAEConfig)
-    from stableanimator_tpu.pipeline import build_models, generate, init_params
-
-    models = build_models(
-        unet_cfg=UNetConfig.tiny(), vae_cfg=VAEConfig.tiny(),
-        clip_cfg=CLIPVisionConfig.tiny(),
-        pose_cfg=dc.replace(PoseNetConfig.tiny(), noise_latent_channels=32),
-        face_cfg=dc.replace(FaceEncoderConfig.tiny(), cross_attention_dim=48,
-                            clip_embeddings_dim=48),
-        dtype=None, use_flash=False)
-    params = init_params(models, jax.random.PRNGKey(0), height=64, width=64)
+    models = build_micro_models()
+    params = fast_init_params(models, height=64, width=64)
 
     rng = np.random.default_rng(5)
     ref = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
@@ -118,3 +109,151 @@ def test_generate_with_face_opt_runs_and_differs(tiny_setup=None):
     assert refined.shape == base.shape
     assert np.isfinite(np.asarray(refined)).all()
     assert np.abs(np.asarray(refined) - np.asarray(base)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_onnx_executor_gradients_match_torch():
+    """jax.grad through the ONNX->JAX executor on an ArcFace-style
+    (Conv/PRelu/BN/FC) graph must match torch autograd — the HJB face
+    optimizer backpropagates through the real glintr100 graph this way
+    (VERDICT.md next-round #5)."""
+    import tempfile
+
+    import torch
+    import torch.nn as nn
+
+    from tests.test_onnx import _export
+    from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+    class ArcTiny(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm2d(8)
+            self.prelu = nn.PReLU(8)
+            self.fc = nn.Linear(8 * 8 * 8, 16)
+            self.feat = nn.BatchNorm1d(16)
+
+        def forward(self, x):
+            h = self.prelu(self.bn(self.conv(x)))
+            return self.feat(self.fc(h.flatten(1)))
+
+    model = ArcTiny().eval()
+    x = np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib
+
+        path = _export(pathlib.Path(td), model, (torch.from_numpy(x),))
+        fn = load_onnx_function(path)
+
+    def loss_jax(xj):
+        emb = fn(xj)[0]
+        return jnp.sum(jnp.square(emb))
+
+    g_jax = np.asarray(jax.grad(loss_jax)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    torch.sum(model(xt) ** 2).backward()
+    np.testing.assert_allclose(g_jax, xt.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_make_face_optimizer_real_pieces_reduces_cost():
+    """make_face_optimizer wired to the real (tiny) temporal-VAE decoder and
+    an ONNX recogniser: the inner solver must reduce the identity cost."""
+    import dataclasses as dc
+    import tempfile
+
+    import torch
+    import torch.nn as nn
+
+    from tests.test_onnx import _export
+    from stableanimator_tpu.core.config import VAEConfig
+    from stableanimator_tpu.models.vae import AutoencoderKLTemporalDecoder
+    from stableanimator_tpu.pipeline.face_opt import make_face_optimizer
+    from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    vae_p = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                     num_frames=1)
+
+    class Rec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 4, 7, stride=4, padding=3)
+            self.fc = nn.Linear(4 * 28 * 28, 8)
+
+        def forward(self, x):
+            return self.fc(torch.relu(self.conv(x)).flatten(1))
+
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib
+
+        path = _export(pathlib.Path(td), Rec().eval(),
+                       (torch.zeros(1, 3, 112, 112),))
+        arc = load_onnx_function(path)
+
+    class Models:
+        pass
+
+    models = Models()
+    models.vae = vae
+    # pose renders with a white face blob at a known spot
+    pose = np.full((2, 64, 64, 3), -1.0, np.float32)
+    pose[:, 8:12, 40:44, :] = 1.0
+
+    cfg = FaceOptConfig(steps=3, lr=0.5, start_step=0, latent_crop=4)
+    target = np.random.default_rng(1).normal(size=(8,)).astype(np.float32)
+    opt = make_face_optimizer(models, {"vae": vae_p["params"]}, cfg, arc,
+                              target, pose, latent_h=8, latent_w=8,
+                              channel_order="standard")
+    # boxes follow the white blob (y ~ 10/64*8 - crop/2, x ~ 42/64*8 - 2)
+    assert opt.face_boxes.shape == (2, 2)
+    assert abs(int(opt.face_boxes[0, 1]) - 3) <= 1  # x centroid ~ 42/64*8-2
+
+    x0 = jnp.asarray(np.random.default_rng(2).normal(size=(1, 2, 8, 8, 4)),
+                     jnp.float32)
+    before = float(opt.identity_cost(x0))
+    refined = opt.refine(x0, jnp.int32(0))
+    after = float(opt.identity_cost(refined))
+    assert np.isfinite(after)
+    assert after < before, (before, after)
+
+
+@pytest.mark.slow
+def test_crop_decode_halo_quantified():
+    """Quantify the crop-decode approximation the face optimizer relies on:
+    decoding a latent crop vs cropping the full decode. The decoder's
+    GroupNorms use *global* spatial statistics, so the two differ even away
+    from borders; this pins the deviation so regressions (or decoder
+    changes that would invalidate face-opt) are caught. Measured on this
+    fixed-seed random tiny VAE: interior rel-error ~0.83, correlation ~0.70
+    — with *random* weights the GroupNorm global statistics dominate, so
+    the crop decode is a correlated differentiable renderer of the face
+    region, not a bit-exact window (trained weights, whose normalisation
+    statistics are far more stable across windows, track much closer)."""
+    from stableanimator_tpu.core.config import VAEConfig
+    from stableanimator_tpu.models.vae import AutoencoderKLTemporalDecoder
+
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    p = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                 num_frames=1)
+
+    rng = np.random.default_rng(3)
+    lat = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+
+    full = vae.apply(p, lat, num_frames=1, method=vae.decode)  # [1,128,128,3]
+    crop_lat = lat[:, 4:12, 4:12, :]                            # 8x8 crop
+    crop_dec = vae.apply(p, crop_lat, num_frames=1, method=vae.decode)
+
+    full_crop = full[:, 32:96, 32:96, :]
+    # interior: exclude an 8-pixel (1 latent px) border from the comparison
+    a = np.asarray(full_crop)[:, 8:-8, 8:-8]
+    b = np.asarray(crop_dec)[:, 8:-8, 8:-8]
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
+    assert np.isfinite(rel)
+    # regression pin: deterministic seeds -> corr 0.695 / rel 0.830 today;
+    # a meaningful drop means the crop decode stopped tracking the window
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.6, f"crop-decode no longer tracks full decode (corr={corr:.3f}, rel={rel:.3f})"
