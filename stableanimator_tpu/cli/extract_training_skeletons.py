@@ -44,7 +44,12 @@ def main():
             img = cv2.cvtColor(cv2.imread(os.path.join(images_dir, fname)),
                                cv2.COLOR_BGR2RGB)
             pose_img = render_training_pose(detector, img)
-            cv2.imwrite(out_path, np.transpose(pose_img, (1, 2, 0))[..., ::-1])
+            # Write the raw transpose — cv2 treats the RGB render as BGR, so
+            # the saved file has swapped channels; that quirk is the data
+            # contract the released checkpoints were trained on (reference
+            # training_skeleton_extraction.py:165-167) and matches the
+            # inference-path extractor (extract_skeleton.py).
+            cv2.imwrite(out_path, np.transpose(pose_img, (1, 2, 0)))
             print(f"wrote {out_path}")
 
 

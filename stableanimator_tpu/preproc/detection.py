@@ -79,8 +79,20 @@ def multiclass_nms(boxes, scores, nms_thr, score_thr):
     return np.concatenate(final, 0) if final else None
 
 
+def _pad_pow2(n: int, floor: int = 8) -> int:
+    """Next power-of-two >= max(n, floor) — buckets batch sizes so XLA
+    compiles one graph per bucket instead of one per clip length."""
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 class PersonDetector:
-    """inference_detector equivalent (reference onnxdet.py:98-125)."""
+    """inference_detector equivalent (reference onnxdet.py:98-125), plus a
+    batched-over-frames path the reference's serial per-frame loop lacks:
+    one XLA call per clip keeps the TPU busy instead of round-tripping per
+    frame."""
 
     def __init__(self, onnx_path: str, input_size=(640, 640)):
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
@@ -88,11 +100,10 @@ class PersonDetector:
         self.input_size = input_size
         self._fn = jax.jit(load_onnx_function(onnx_path))
 
-    def __call__(self, image_rgb: np.ndarray,
-                 nms_thr=0.45, score_thr=0.1, final_thr=0.3) -> np.ndarray:
-        img, ratio = letterbox(image_rgb, self.input_size)
-        raw = np.asarray(self._fn(img[None])[0])
-        preds = decode_outputs(raw, self.input_size)[0]
+    def _postprocess(self, raw_one: np.ndarray, ratio: float,
+                     nms_thr: float, score_thr: float,
+                     final_thr: float) -> np.ndarray:
+        preds = decode_outputs(raw_one[None], self.input_size)[0]
         boxes = preds[:, :4]
         scores = preds[:, 4:5] * preds[:, 5:]
         xyxy = np.empty_like(boxes)
@@ -106,3 +117,28 @@ class PersonDetector:
             return np.zeros((0, 4), np.float32)
         keep = (dets[:, 4] > final_thr) & (dets[:, 5] == 0)  # person class
         return dets[keep, :4]
+
+    def __call__(self, image_rgb: np.ndarray,
+                 nms_thr=0.45, score_thr=0.1, final_thr=0.3) -> np.ndarray:
+        img, ratio = letterbox(image_rgb, self.input_size)
+        raw = np.asarray(self._fn(img[None])[0])
+        return self._postprocess(raw[0], ratio, nms_thr, score_thr, final_thr)
+
+    def detect_batch(self, frames_rgb, nms_thr=0.45, score_thr=0.1,
+                     final_thr=0.3):
+        """All frames of a clip through ONE network call (padded to a
+        power-of-two bucket). Letterbox + NMS stay host-side (tiny);
+        returns a list of [N_i, 4] person boxes per frame."""
+        if len(frames_rgb) == 0:
+            return []
+        prepped = [letterbox(f, self.input_size) for f in frames_rgb]
+        batch = np.stack([p[0] for p in prepped])
+        n = batch.shape[0]
+        pad = _pad_pow2(n) - n
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+        raw = np.asarray(self._fn(batch)[0])[:n]
+        return [self._postprocess(raw[i], prepped[i][1],
+                                  nms_thr, score_thr, final_thr)
+                for i in range(n)]

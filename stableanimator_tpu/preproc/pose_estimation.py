@@ -83,7 +83,10 @@ def simcc_decode(simcc_x: np.ndarray, simcc_y: np.ndarray,
 
 
 class PoseEstimator:
-    """inference_pose equivalent (reference onnxpose.py:353-359)."""
+    """inference_pose equivalent (reference onnxpose.py:353-359), batched:
+    the reference runs the network once per person crop in a Python loop;
+    here every crop — within a frame or across a whole clip — goes through
+    ONE padded XLA call."""
 
     def __init__(self, onnx_path: str, input_size: Tuple[int, int] = (192, 256)):
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
@@ -91,7 +94,8 @@ class PoseEstimator:
         self.input_size = input_size  # (w, h)
         self._fn = jax.jit(load_onnx_function(onnx_path))
 
-    def __call__(self, image_rgb: np.ndarray, bboxes: np.ndarray):
+    def _prep(self, image_rgb: np.ndarray, bboxes: np.ndarray):
+        """Host-side geometry: affine person crops + ImageNet normalise."""
         h_img, w_img = image_rgb.shape[:2]
         if len(bboxes) == 0:
             bboxes = np.array([[0, 0, w_img, h_img]], np.float32)
@@ -102,12 +106,52 @@ class PoseEstimator:
             crops.append(((crop - _MEAN) / _STD).transpose(2, 0, 1).astype(np.float32))
             centers.append(center)
             scales.append(scale)
+        return crops, centers, scales
 
-        keypoints, scores = [], []
-        for crop, center, scale in zip(crops, centers, scales):
-            simcc_x, simcc_y = self._fn(crop[None])
-            kpts, val = simcc_decode(np.asarray(simcc_x), np.asarray(simcc_y))
-            kpts = kpts / np.asarray(self.input_size) * scale + center - scale / 2
-            keypoints.append(kpts[0])
-            scores.append(val[0])
-        return np.asarray(keypoints), np.asarray(scores)
+    def _run_crops(self, crops):
+        """ONE padded network call over a stack of crops -> (simcc_x, simcc_y).
+        Padded to a power-of-two bucket so clips of any person count reuse a
+        handful of compiled graphs."""
+        from stableanimator_tpu.preproc.detection import _pad_pow2
+
+        batch = np.stack(crops)
+        n = batch.shape[0]
+        pad = _pad_pow2(n, floor=4) - n
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+        simcc_x, simcc_y = self._fn(batch)
+        return np.asarray(simcc_x)[:n], np.asarray(simcc_y)[:n]
+
+    def _decode(self, simcc_x, simcc_y, centers, scales):
+        kpts, vals = simcc_decode(simcc_x, simcc_y)
+        out_k, out_s = [], []
+        for i, (center, scale) in enumerate(zip(centers, scales)):
+            out_k.append(kpts[i] / np.asarray(self.input_size) * scale
+                         + center - scale / 2)
+            out_s.append(vals[i])
+        return np.asarray(out_k), np.asarray(out_s)
+
+    def __call__(self, image_rgb: np.ndarray, bboxes: np.ndarray):
+        crops, centers, scales = self._prep(image_rgb, bboxes)
+        simcc_x, simcc_y = self._run_crops(crops)
+        return self._decode(simcc_x, simcc_y, centers, scales)
+
+    def batch_call(self, images_rgb, bboxes_per_image):
+        """Clip-level batching: all person crops from all frames through one
+        network call. Returns [(keypoints, scores)] per frame."""
+        all_crops, all_centers, all_scales, counts = [], [], [], []
+        for img, boxes in zip(images_rgb, bboxes_per_image):
+            crops, centers, scales = self._prep(img, boxes)
+            all_crops += crops
+            all_centers += centers
+            all_scales += scales
+            counts.append(len(crops))
+        simcc_x, simcc_y = self._run_crops(all_crops)
+        out, pos = [], 0
+        for c in counts:
+            out.append(self._decode(simcc_x[pos:pos + c], simcc_y[pos:pos + c],
+                                    all_centers[pos:pos + c],
+                                    all_scales[pos:pos + c]))
+            pos += c
+        return out

@@ -25,7 +25,12 @@ def get_video_pose(detector: WholebodyDetector, frames_rgb: List[np.ndarray],
     render -> [F, 3, H, W] uint8 (H, W of the reference image)."""
     h, w = ref_image_rgb.shape[:2]
     ref_pose = detector(ref_image_rgb)
-    detected = [detector(f) for f in frames_rgb]
+    # batched clip path (one detector call over all frames + one pose call
+    # over all crops); falls back to per-frame for detector stand-ins
+    if hasattr(detector, "video_poses"):
+        detected = detector.video_poses(list(frames_rgb))
+    else:
+        detected = [detector(f) for f in frames_rgb]
     detected = align_to_reference(detected, ref_pose, h, w)
     return np.stack([draw_pose(p, h, w) for p in detected])
 

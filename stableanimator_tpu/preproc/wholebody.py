@@ -23,13 +23,12 @@ class WholebodyDetector:
         self.detector = PersonDetector(det_onnx_path)
         self.pose = PoseEstimator(pose_onnx_path)
 
-    def keypoints(self, image_rgb: np.ndarray):
-        """-> (keypoints [N, 134, 2] px coords, scores [N, 134])."""
-        boxes = self.detector(image_rgb)
-        kpts, scores = self.pose(image_rgb, boxes)
+    @staticmethod
+    def _compose(kpts: np.ndarray, scores: np.ndarray):
+        """Neck synthesis + mmpose->openpose remap (reference
+        wholebody.py:26-31)."""
         info = np.concatenate([kpts, scores[..., None]], axis=-1)
         # synthetic neck = mean of shoulders, visible iff both visible
-        # (reference wholebody.py:26-31)
         neck = info[:, [5, 6]].mean(axis=1)
         neck[:, 2:] = np.logical_and(info[:, 5, 2:] > 0.3,
                                      info[:, 6, 2:] > 0.3).astype(info.dtype)
@@ -37,10 +36,37 @@ class WholebodyDetector:
         info[:, OPENPOSE_IDX] = info[:, MMPOSE_IDX]
         return info[..., :2], info[..., 2]
 
+    def keypoints(self, image_rgb: np.ndarray):
+        """-> (keypoints [N, 134, 2] px coords, scores [N, 134])."""
+        boxes = self.detector(image_rgb)
+        kpts, scores = self.pose(image_rgb, boxes)
+        return self._compose(kpts, scores)
+
+    def video_poses(self, frames_rgb) -> list:
+        """Batched clip path: ONE detector call over all frames + ONE pose
+        call over all person crops (the reference loops both networks
+        serially per frame / per crop — onnxpose.py:353-359). Identical
+        math to calling `self(frame)` per frame."""
+        if len(frames_rgb) == 0:
+            return []
+        boxes_list = self.detector.detect_batch(frames_rgb)
+        per_frame = self.pose.batch_call(frames_rgb, boxes_list)
+        out = []
+        for img, (kpts, scores) in zip(frames_rgb, per_frame):
+            candidate, score = self._compose(kpts, scores)
+            out.append(self._to_pose_dict(candidate, score,
+                                          *img.shape[:2]))
+        return out
+
     def __call__(self, image_rgb: np.ndarray) -> Dict:
         """Normalised pose dict (reference dwpose_detector.py:20-54)."""
         h, w = image_rgb.shape[:2]
         candidate, score = self.keypoints(image_rgb)
+        return self._to_pose_dict(candidate, score, h, w)
+
+    @staticmethod
+    def _to_pose_dict(candidate: np.ndarray, score: np.ndarray,
+                      h: int, w: int) -> Dict:
         nums, _, locs = candidate.shape
         candidate = candidate.astype(np.float64)
         candidate[..., 0] /= float(w)
