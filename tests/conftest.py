@@ -9,9 +9,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # ~30% less XLA:CPU compile time; tests are compile-dominated and every
+    # numerical comparison is between two paths compiled under the same flag
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -19,5 +22,44 @@ import jax  # noqa: E402
 # process and wins over the env var, so force the platform via jax.config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: the suite is XLA:CPU-compile dominated; repeat
+# runs (developer loop, CI re-runs) hit the cache and skip the big compiles.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
+
+
+def build_micro_models(**overrides):
+    """Depth-1 micro model zoo for compile-heavy pipeline/train/SPMD tests:
+    same topology as the full stack (4-level UNet with CrossAttn/Down/Up
+    blocks, temporal mixing, all five conditioning models) but one
+    resnet/transformer layer per block — the graph structure every test
+    exercises is identical, XLA:CPU compile time is roughly halved.
+    Parity tests that pin exact architecture depth build their own configs."""
+    import dataclasses
+
+    from stableanimator_tpu.core.config import (
+        CLIPVisionConfig,
+        FaceEncoderConfig,
+        PoseNetConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+    from stableanimator_tpu.pipeline import build_models
+
+    kwargs = dict(
+        unet_cfg=dataclasses.replace(UNetConfig.tiny(), layers_per_block=1),
+        vae_cfg=dataclasses.replace(VAEConfig.tiny(), layers_per_block=1),
+        clip_cfg=dataclasses.replace(
+            CLIPVisionConfig.tiny(), image_size=64, num_layers=1),
+        pose_cfg=dataclasses.replace(
+            PoseNetConfig.tiny(), noise_latent_channels=32),
+        face_cfg=dataclasses.replace(
+            FaceEncoderConfig.tiny(), cross_attention_dim=48,
+            clip_embeddings_dim=48, depth=1),
+        dtype=None,
+        use_flash=False,
+    )
+    kwargs.update(overrides)
+    return build_models(**kwargs)

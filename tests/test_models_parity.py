@@ -37,6 +37,9 @@ from stableanimator_tpu.models import (
 )
 from tests import torch_oracles as oracle
 
+# compile-heavy (full pipeline graphs on XLA:CPU); excluded from the smoke tier
+pytestmark = pytest.mark.slow
+
 
 def _nchw_to_nhwc(x):
     return np.transpose(x, (0, 2, 3, 1))

@@ -16,18 +16,18 @@ from stableanimator_tpu.core.config import (
     VAEConfig,
 )
 from stableanimator_tpu.parallel import make_mesh, shard_params
-from stableanimator_tpu.pipeline import build_models, generate, init_params
+from stableanimator_tpu.pipeline import build_models, generate, fast_init_params
+import pytest
+
+# compile-heavy (full pipeline graphs on XLA:CPU); excluded from the smoke tier
+pytestmark = pytest.mark.slow
 
 
 def test_sharded_generate_matches_single_device():
-    models = build_models(
-        unet_cfg=UNetConfig.tiny(), vae_cfg=VAEConfig.tiny(),
-        clip_cfg=CLIPVisionConfig.tiny(),
-        pose_cfg=dataclasses.replace(PoseNetConfig.tiny(), noise_latent_channels=32),
-        face_cfg=dataclasses.replace(FaceEncoderConfig.tiny(),
-                                     cross_attention_dim=48, clip_embeddings_dim=48),
-        dtype=None, use_flash=False)
-    params = init_params(models, jax.random.PRNGKey(0), height=64, width=64)
+    from tests.conftest import build_micro_models
+
+    models = build_micro_models()
+    params = fast_init_params(models, height=64, width=64)
 
     rng = np.random.default_rng(9)
     ref = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)

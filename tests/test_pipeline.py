@@ -33,23 +33,19 @@ from stableanimator_tpu.pipeline import (
     build_models,
     denoise,
     generate,
-    init_params,
+    fast_init_params,
 )
+
+# compile-heavy (full pipeline graphs on XLA:CPU); excluded from the smoke tier
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")
 def tiny_setup():
-    models = build_models(
-        unet_cfg=UNetConfig.tiny(),
-        vae_cfg=VAEConfig.tiny(),
-        clip_cfg=CLIPVisionConfig.tiny(),
-        pose_cfg=dataclasses.replace(PoseNetConfig.tiny(), noise_latent_channels=32),
-        face_cfg=dataclasses.replace(
-            FaceEncoderConfig.tiny(), cross_attention_dim=48, clip_embeddings_dim=48),
-        dtype=None,  # fp32 on CPU for exact comparisons
-        use_flash=False,
-    )
-    params = init_params(models, jax.random.PRNGKey(0), height=64, width=64)
+    from tests.conftest import build_micro_models
+
+    models = build_micro_models()  # fp32 on CPU for exact comparisons
+    params = fast_init_params(models, height=64, width=64)
     return models, params
 
 
@@ -122,8 +118,10 @@ def test_denoise_matches_reference_loop(tiny_setup, num_frames, tile, overlap):
                                    schedule, cfg)
     # the two paths run identical math on different batch shapes (one
     # batched call vs per-tile calls); reduction orders differ in fp32, and
-    # 3 guidance-amplified Euler steps magnify the rounding to ~1e-3
-    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+    # 3 guidance-amplified Euler steps magnify the rounding to ~4e-3 with
+    # realistic-magnitude random params (measured; a semantic divergence in
+    # tiling/guidance/stepping shows as O(0.1+))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=6e-3, atol=6e-3)
 
 
 def test_generate_end_to_end(tiny_setup):
@@ -153,3 +151,35 @@ def test_generate_longer_than_tile(tiny_setup):
                       rng=jax.random.PRNGKey(8))
     assert frames.shape == (6, 64, 64, 3)
     assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_decode_frames_uneven_chunks(tiny_setup):
+    """f not divisible by decode_chunk_size must decode the remainder as its
+    own small chunk (round-1 bug: it silently decoded the whole video in one
+    batch — the OOM case the chunking exists to avoid). Batched and
+    sequential paths must agree."""
+    from stableanimator_tpu.pipeline.animation import decode_frames
+
+    models, params = tiny_setup
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.normal(size=(1, 6, 8, 8, 4)), jnp.float32)
+
+    cfg_batched = PipelineConfig(decode_chunk_size=4)
+    cfg_seq = dataclasses.replace(cfg_batched, batched_decode_max_latent_volume=1)
+
+    batched = np.asarray(decode_frames(models, params, latents, cfg_batched))
+    seq = np.asarray(decode_frames(models, params, latents, cfg_seq))
+    assert batched.shape == (6, 64, 64, 3)
+    assert np.isfinite(batched).all()
+    np.testing.assert_allclose(batched, seq, rtol=2e-5, atol=2e-5)
+
+    # chunking semantics: frames grouped [0..3] then [4..5], matching the
+    # reference's uneven tail chunk
+    def decode(zc, nf):
+        return models.vae.apply({"params": params["vae"]},
+                                zc / models.vae.config.scaling_factor,
+                                num_frames=nf, method=models.vae.decode)
+
+    manual = jnp.concatenate([decode(latents[0, :4], 4), decode(latents[0, 4:], 2)])
+    manual = np.clip(np.asarray(manual, np.float32) / 2.0 + 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(batched, manual, rtol=2e-5, atol=2e-5)

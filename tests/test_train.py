@@ -25,7 +25,7 @@ from stableanimator_tpu.parallel import (
     shard_optimizer_state,
     shard_params,
 )
-from stableanimator_tpu.pipeline import build_models, init_params
+from stableanimator_tpu.pipeline import build_models, fast_init_params
 from stableanimator_tpu.train import (
     TrainState,
     create_train_state,
@@ -33,18 +33,14 @@ from stableanimator_tpu.train import (
     train_loss,
 )
 
+# compile-heavy (full pipeline graphs on XLA:CPU); excluded from the smoke tier
+pytestmark = pytest.mark.slow
+
 
 def _tiny_models():
-    return build_models(
-        unet_cfg=UNetConfig.tiny(),
-        vae_cfg=VAEConfig.tiny(),
-        clip_cfg=dataclasses.replace(CLIPVisionConfig.tiny(), image_size=64),
-        pose_cfg=dataclasses.replace(PoseNetConfig.tiny(), noise_latent_channels=32),
-        face_cfg=dataclasses.replace(
-            FaceEncoderConfig.tiny(), cross_attention_dim=48, clip_embeddings_dim=48),
-        dtype=None,
-        use_flash=False,
-    )
+    from tests.conftest import build_micro_models
+
+    return build_micro_models()
 
 
 def _batch(b=2, f=2, hw=64, id_dim=32, seed=0):
@@ -62,7 +58,7 @@ def _batch(b=2, f=2, hw=64, id_dim=32, seed=0):
 @pytest.fixture(scope="module")
 def setup():
     models = _tiny_models()
-    params = init_params(models, jax.random.PRNGKey(0), height=64, width=64)
+    params = fast_init_params(models, height=64, width=64)
     return models, params
 
 
