@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help='"latest" or a step number')
     p.add_argument("--num_workers", type=int, default=8)  # parity flag
+    p.add_argument("--report_to", type=str, default="jsonl",
+                   choices=["jsonl", "tensorboard", "none"],
+                   help="persistent metrics stream (reference --report_to "
+                        "intent): metrics.jsonl, + TensorBoard mirror, or "
+                        "stdout only")
     p.add_argument("--allow_random_init", action="store_true")
     p.add_argument("--trainable_modules", type=str,
                    default="unet,pose_net,face_encoder",
@@ -168,6 +173,9 @@ def main():
         export_to_gif(frames_to_uint8(np.asarray(frames, np.float32)), out)
         print(f"validation clip -> {out}")
 
+    from stableanimator_tpu.core.metrics import MetricsLogger
+
+    metrics_log = MetricsLogger(args.output_dir, report_to=args.report_to)
     max_steps = args.max_train_steps or args.num_train_epochs * 1000
     t0 = time.time()
     while int(state.step) < max_steps:
@@ -181,6 +189,8 @@ def main():
             dt = time.time() - t0
             print(f"step {step}: loss={loss:.4f} grad_norm={gn:.3f} "
                   f"({dt / max(step, 1):.2f}s/step)")
+            metrics_log.log(step, {"loss": loss, "grad_norm": gn,
+                                   "sec_per_step": dt / max(step, 1)})
         if step % cfg.validation_steps == 0:
             run_validation(step)
         if step % cfg.checkpointing_steps == 0:
@@ -189,6 +199,7 @@ def main():
             print(f"checkpointed step {step}")
     mgr.save(int(state.step), {"params": state.params,
                                "opt_state": state.opt_state, "step": state.step})
+    metrics_log.close()
 
 
 if __name__ == "__main__":

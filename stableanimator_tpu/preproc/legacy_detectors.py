@@ -128,3 +128,66 @@ class DWposeDetectorOnlyOnePerson(DWposeDetector):
     """Single-person variant (reference dwpose_utils/__init__.py:75-120)."""
 
     only_one_person = True
+
+
+def hand_detect(candidate: np.ndarray, subset: np.ndarray,
+                image_shape) -> list:
+    """OpenPose-heuristic hand boxes from body keypoints (re-expression of
+    reference DWPose/dwpose_utils/util.py:155 handDetect; the heuristic is
+    openpose's handDetector.cpp). candidate: [M, 2] absolute pixel coords,
+    subset: [N, 18] keypoint indices (-1 = invisible).
+
+    Returns [[x, y, width, is_left], ...] with (x, y) the top-left of a
+    square crop; boxes narrower than 20 px are dropped.
+    """
+    img_h, img_w = image_shape[:2]
+    ratio_wrist_elbow = 0.33
+    out = []
+    for person in np.asarray(subset).astype(int):
+        # (shoulder, elbow, wrist) triplets: left = 5,6,7; right = 2,3,4
+        for idx, is_left in (((5, 6, 7), True), ((2, 3, 4), False)):
+            if np.any(person[list(idx)] == -1):
+                continue
+            shoulder, elbow, wrist = (candidate[person[i]][:2] for i in idx)
+            center = wrist + ratio_wrist_elbow * (wrist - elbow)
+            d_we = float(np.hypot(*(wrist - elbow)))
+            d_es = float(np.hypot(*(elbow - shoulder)))
+            width = 1.5 * max(d_we, 0.9 * d_es)
+            x = max(center[0] - width / 2, 0.0)
+            y = max(center[1] - width / 2, 0.0)
+            width = min(width,
+                        img_w - x if x + width > img_w else width,
+                        img_h - y if y + width > img_h else width)
+            if width >= 20:
+                out.append([int(x), int(y), int(width), is_left])
+    return out
+
+
+def face_detect(candidate: np.ndarray, subset: np.ndarray,
+                image_shape) -> list:
+    """Face boxes from nose/eyes/ears geometry (re-expression of reference
+    DWPose/dwpose_utils/util.py:221 faceDetect). Square half-width = the
+    largest of 3x the nose-eye chebyshev distance and 1.5x the nose-ear
+    distance. Returns [[x, y, width], ...] (top-left, square)."""
+    img_h, img_w = image_shape[:2]
+    out = []
+    for person in np.asarray(subset).astype(int):
+        if person[0] == -1:  # nose
+            continue
+        parts = {14: 3.0, 15: 3.0, 16: 1.5, 17: 1.5}  # eyes x3, ears x1.5
+        visible = [(i, f) for i, f in parts.items() if person[i] > -1]
+        if not visible:
+            continue
+        nose = candidate[person[0]][:2]
+        width = 0.0
+        for i, factor in visible:
+            p = candidate[person[i]][:2]
+            width = max(width, float(np.abs(nose - p).max()) * factor)
+        x = max(nose[0] - width, 0.0)
+        y = max(nose[1] - width, 0.0)
+        w = min(width * 2,
+                img_w - x if x + width > img_w else width * 2,
+                img_h - y if y + width > img_h else width * 2)
+        if w >= 20:
+            out.append([int(x), int(y), int(w)])
+    return out

@@ -52,3 +52,69 @@ def test_only_one_person_uses_first():
     out_single = single(img)
     # the single-person variant draws strictly fewer or equal pixels
     assert (out_single > 0).sum() <= (out_multi > 0).sum()
+
+
+class TestHandFaceDetect:
+    """hand_detect / face_detect heuristics (reference util.py:155,221)."""
+
+    def _body(self):
+        # one person, keypoints in a 200x200 image
+        candidate = np.zeros((18, 2), np.float64)
+        candidate[2] = [140, 60]   # right shoulder
+        candidate[3] = [150, 100]  # right elbow
+        candidate[4] = [155, 140]  # right wrist
+        candidate[5] = [60, 60]    # left shoulder
+        candidate[6] = [50, 100]   # left elbow
+        candidate[7] = [45, 140]   # left wrist
+        candidate[0] = [100, 40]   # nose
+        candidate[14] = [92, 35]   # right eye
+        candidate[15] = [108, 35]  # left eye
+        candidate[16] = [85, 40]   # right ear
+        candidate[17] = [115, 40]  # left ear
+        subset = np.arange(18, dtype=np.float64)[None]
+        return candidate, subset
+
+    def test_hand_boxes_both_hands(self):
+        from stableanimator_tpu.preproc.legacy_detectors import hand_detect
+
+        candidate, subset = self._body()
+        boxes = hand_detect(candidate, subset, (200, 200, 3))
+        assert len(boxes) == 2
+        # left first (reference order), square boxes >= 20px
+        assert boxes[0][3] is True and boxes[1][3] is False
+        for x, y, w, _ in boxes:
+            assert w >= 20 and x >= 0 and y >= 0
+        # wrist extrapolation: box center is beyond the wrist, away from
+        # the elbow
+        x, y, w, _ = boxes[0]
+        cx, cy = x + w / 2, y + w / 2
+        assert cy > 140  # wrist y, extended downward
+
+    def test_hand_requires_full_arm(self):
+        from stableanimator_tpu.preproc.legacy_detectors import hand_detect
+
+        candidate, subset = self._body()
+        subset[0, [2, 5]] = -1  # both shoulders invisible
+        assert hand_detect(candidate, subset, (200, 200, 3)) == []
+
+    def test_face_box_geometry(self):
+        from stableanimator_tpu.preproc.legacy_detectors import face_detect
+
+        candidate, subset = self._body()
+        boxes = face_detect(candidate, subset, (200, 200, 3))
+        assert len(boxes) == 1
+        x, y, w = boxes[0]
+        # width driven by the eye distance: max(|100-92|,|40-35|)*3 = 24
+        # (beats the ear term 15*1.5 = 22.5) -> x = 100-24, y = 40-24, w = 48
+        assert (x, y) == (76, 16)
+        assert w == 48
+
+    def test_face_requires_nose_and_feature(self):
+        from stableanimator_tpu.preproc.legacy_detectors import face_detect
+
+        candidate, subset = self._body()
+        subset[0, [14, 15, 16, 17]] = -1
+        assert face_detect(candidate, subset, (200, 200, 3)) == []
+        candidate, subset = self._body()
+        subset[0, 0] = -1
+        assert face_detect(candidate, subset, (200, 200, 3)) == []

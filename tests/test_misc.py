@@ -102,3 +102,76 @@ class TestTrace:
         trace.enable(False)
         trace.dump("x", np.zeros((1,)))
         assert capsys.readouterr().out == ""
+
+
+class TestFVD:
+    """FVD scaffolding (tools/evaluate.py): I3D features through the
+    ONNX->XLA executor + Fréchet distance (paper metric arXiv:2411.17697;
+    the real I3D checkpoint is an external artifact — any I3D-shaped onnx
+    slots in)."""
+
+    def test_frechet_distance_properties(self):
+        from tools.evaluate import frechet_distance
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(64, 8)).astype(np.float64)
+        b = rng.normal(loc=3.0, size=(64, 8)).astype(np.float64)
+        same = frechet_distance(a, a)
+        far = frechet_distance(a, b)
+        assert abs(same) < 1e-6
+        assert far > 8.0 * 0.5  # mean shift of 3 in 8 dims dominates
+
+    def test_fvd_through_onnx_executor(self, tmp_path):
+        import torch
+        import torch.nn as nn
+
+        from tests.test_onnx import _export
+        from tools.evaluate import fvd
+
+        class I3DStandin(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Conv3d(3, 8, (7, 7, 7), stride=(2, 4, 4),
+                                      padding=3)
+                self.head = nn.Conv3d(8, 16, 1)
+
+            def forward(self, x):
+                h = torch.relu(self.conv(x))
+                h = torch.nn.functional.avg_pool3d(h, (2, 8, 8), stride=2)
+                return self.head(h).mean(dim=(2, 3, 4))
+
+        path = _export(tmp_path, I3DStandin().eval(),
+                       (torch.zeros(1, 3, 4, 32, 32),), name="i3d.onnx")
+
+        rng = np.random.default_rng(1)
+        gen = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+               for _ in range(8)]
+        real = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                for _ in range(8)]
+        out = fvd(gen, real, path, clip_len=4)
+        assert np.isfinite(out["fvd"])
+        assert out["fvd_gen_clips"] == 2 and out["fvd_real_clips"] == 2
+        # identical distributions -> ~0
+        out_same = fvd(gen, gen, path, clip_len=4)
+        assert abs(out_same["fvd"]) < 1e-4
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    """MetricsLogger writes flushed JSONL records (reference --report_to
+    equivalent, SURVEY.md §5.5)."""
+    import json
+
+    from stableanimator_tpu.core.metrics import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path), report_to="jsonl")
+    log.log(10, {"loss": 0.5, "grad_norm": 1.25})
+    log.log(20, {"loss": 0.25})
+    # flushed line-by-line: readable before close
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["step"] == 10 and lines[0]["loss"] == 0.5
+    assert lines[1]["step"] == 20
+    log.close()
+
+    noop = MetricsLogger(str(tmp_path), report_to="none")
+    noop.log(1, {"loss": 1.0})
+    noop.close()
