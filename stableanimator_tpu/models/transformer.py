@@ -59,11 +59,17 @@ class Attention(nn.Module):
     dim_head: int
     out_dim: int
     use_flash: Optional[bool] = None
+    # (batch, frames): input tokens are [batch*frames, S, C] in the spatial
+    # layout and SELF-attention mixes across the frame axis at fixed spatial
+    # position (temporal attention) — only q/k/v/out are transposed, the
+    # projections run in the MXU-friendly spatial layout.
+    seq_axis_group: Optional[tuple] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
+        is_self = context is None
         if context is None:
             context = x
         n, sq, _ = x.shape
@@ -94,7 +100,20 @@ class Attention(nn.Module):
         q = q.reshape(n, sq, self.heads, self.dim_head)
         k = k.reshape(n, sk, self.heads, self.dim_head)
         v = v.reshape(n, sk, self.heads, self.dim_head)
-        o = dot_product_attention(q, k, v, use_flash=self.use_flash)
+        if is_self and self.seq_axis_group is not None:
+            b, f = self.seq_axis_group
+
+            def to_frame_major(t):
+                t = t.reshape(b, f, sq, self.heads, self.dim_head)
+                return t.transpose(0, 2, 1, 3, 4).reshape(
+                    b * sq, f, self.heads, self.dim_head)
+
+            o = dot_product_attention(to_frame_major(q), to_frame_major(k),
+                                      to_frame_major(v), use_flash=False)
+            o = (o.reshape(b, sq, f, self.heads, self.dim_head)
+                 .transpose(0, 2, 1, 3, 4))
+        else:
+            o = dot_product_attention(q, k, v, use_flash=self.use_flash)
         o = o.reshape(n, sq, inner)
         return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name="to_out")(o)
@@ -200,22 +219,27 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, time_context, frame_emb=None, mix_alpha=None):
         """mix_alpha: optional scalar a — when given, the module returns
-        a * x + (1 - a) * temporal_out with the blend computed in the
-        temporal layout (identical math to blending after the exit
-        transpose, but the elementwise never fuses into a strided copy)."""
+        a * x + (1 - a) * temporal_out, blended in place.
+
+        Layout: the whole block runs in the SPATIAL token layout
+        [B*F, S, C] — every sub-op except the attention core (LayerNorm,
+        ff_in, ff, the frame-embedding add, the alpha blend) is per-token
+        and therefore layout-agnostic, and the qkv/out projections are
+        ordinary per-token matmuls too. Only q, k, v are transposed to the
+        frame-major layout for the F-mixing attention and the output
+        transposed back: ~4 copies of the (smaller) head tensors instead
+        of 2 copies of the full activation PLUS the d-minor relayouts XLA
+        inserted around every matmul it had to run in the batch-minor
+        temporal layout (measured ~2.7 ms/block at 512^2: the largest
+        non-matmul cost in the denoise step). Identical math to the
+        reference's transpose-everything formulation (unet.py:872-958)."""
         num_frames = self.num_frames
         n, s, c = x.shape
         b = n // num_frames
-        # [B*F, S, C] -> [B*S, F, C]. The transpose is a pure copy; the
-        # frame positional embedding is added afterwards in the temporal
-        # layout (identical math, but it fuses with the next op instead of
-        # turning the transpose into a slow strided elementwise fusion).
-        x_t = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
-        h = x_t
+        h = x
         if frame_emb is not None:
-            # frame_emb [B*F, 1, C] -> [B, 1, F, C] broadcast over S
-            fe = frame_emb.reshape(b, num_frames, c)[:, None, :, :]
-            h = (h.reshape(b, s, num_frames, c) + fe).reshape(b * s, num_frames, c)
+            # frame_emb [B*F, 1, C] broadcasts directly in spatial layout
+            h = h + frame_emb.astype(h.dtype)
 
         residual = h
         h = LayerNorm(name="norm_in")(h)
@@ -224,17 +248,22 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         hn = LayerNorm(name="norm1")(h)
         h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
+                          seq_axis_group=(b, num_frames),
                           dtype=self.dtype, name="attn1")(hn)
         hn = LayerNorm(name="norm2")(h)
+        # cross-attention to the single first-frame CLIP token: context has
+        # one key, so this hits the exact softmax==1 shortcut in Attention
+        # (to_out(to_v(ctx)) broadcast) — no transpose needed at all
         h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
+                          seq_axis_group=(b, num_frames),
                           dtype=self.dtype, name="attn2")(hn, time_context)
         hn = LayerNorm(name="norm3")(h)
         h = h + FeedForward(dtype=self.dtype, name="ff")(hn)
 
         if mix_alpha is not None:
             a = mix_alpha.astype(h.dtype)
-            h = a * x_t + (1.0 - a) * h
-        return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(n, s, c)
+            h = a * x + (1.0 - a) * h
+        return h
 
 
 class TransformerSpatioTemporalModel(nn.Module):
@@ -261,14 +290,17 @@ class TransformerSpatioTemporalModel(nn.Module):
         inner = self.heads * self.dim_head
         s = hh * ww
 
-        # time_context: the base (CLIP) tokens of frame 0, broadcast to every
-        # spatial location (reference unet.py:640-654).
+        # time_context: the base (CLIP) tokens of frame 0 (reference
+        # unet.py:640-654). The temporal block runs in the spatial token
+        # layout, so the context only needs replication over the frame axis
+        # ([B*F, end_pos, dim]) — not over every spatial position as the
+        # reference materialises it.
         end_pos = context.shape[1] - self.num_id_tokens
         time_context = context[:, :end_pos, :]
         tc_first = time_context.reshape(b, num_frames, end_pos, -1)[:, 0]
         time_context = jnp.broadcast_to(
-            tc_first[:, None], (b, s, end_pos, tc_first.shape[-1])
-        ).reshape(b * s, end_pos, tc_first.shape[-1])
+            tc_first[:, None], (b, num_frames, end_pos, tc_first.shape[-1])
+        ).reshape(b * num_frames, end_pos, tc_first.shape[-1])
 
         residual = x
         h = GroupNorm(num_groups=32, eps=1e-6, name="norm")(x)

@@ -24,6 +24,7 @@ a custom VJP; dq/dk/dv never materialise the [S, S] matrix either.
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -224,7 +225,13 @@ def _flash_fwd_resident(q, k, v, scale, interpret, with_lse):
 
 # one head-pair's K/V column slice (double-buffered by pallas) + per-head
 # temporaries must fit VMEM; 4 MB of K/V columns leaves ample headroom.
-_RESIDENT_KV_MAX_BYTES = 4 * 1024 * 1024
+# Default 0 = resident kernel DISABLED. A/B on a real v5e chip (512^2 x 16f
+# e2e): streamed 10.87 s vs resident 11.50 s — the streamed kernel's
+# grid-pipelined K/V DMAs beat the resident kernel's fori_loop even though
+# the latter re-streams nothing. Kept selectable for future shapes where
+# K/V re-streaming dominates (very long kv with small q).
+_RESIDENT_KV_MAX_BYTES = int(os.environ.get(
+    "SA_TPU_RESIDENT_KV_MAX_BYTES", 0))
 
 
 def _use_resident(q, k):

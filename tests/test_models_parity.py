@@ -224,10 +224,13 @@ class TestUNet:
             jnp.concatenate([add_ids, add_ids]),
             jnp.concatenate([jnp.zeros_like(pose), pose]),
         )
+        # identical math on different batch shapes: XLA schedules fp32
+        # reductions differently for b=2 vs b=1, ~1e-4 after a full UNet
+        # (a semantic CFG-batching bug would be O(0.1+))
         np.testing.assert_allclose(np.asarray(batched[:1]), np.asarray(uncond),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(np.asarray(batched[1:]), np.asarray(cond),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=5e-4, atol=5e-4)
 
     def test_init_id_adapter_from_svd(self, rng):
         cfg = UNetConfig.tiny()

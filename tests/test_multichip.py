@@ -43,5 +43,9 @@ def test_sharded_generate_matches_single_device():
     sharded_params = shard_params(params, mesh)
     out = generate(models, sharded_params, ref, pose, emb, cfg,
                    rng=jax.random.PRNGKey(11), mesh=mesh)
+    # GSPMD partitioning reorders fp32 reductions vs the single-device
+    # schedule; ~4e-4 on [0,1] pixels with realistic-magnitude random
+    # params (a sharding bug — wrong halo, missing collective — shows as
+    # O(0.1+) on many elements)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=1e-3, atol=1e-3)

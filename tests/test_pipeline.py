@@ -116,12 +116,16 @@ def test_denoise_matches_reference_loop(tiny_setup, num_frames, tile, overlap):
     ref = _reference_style_denoise(models, params, latents, context,
                                    image_latents, add_time_ids, pose_latents,
                                    schedule, cfg)
-    # the two paths run identical math on different batch shapes (one
-    # batched call vs per-tile calls); reduction orders differ in fp32, and
-    # 3 guidance-amplified Euler steps magnify the rounding to ~4e-3 with
-    # realistic-magnitude random params (measured; a semantic divergence in
-    # tiling/guidance/stepping shows as O(0.1+))
-    np.testing.assert_allclose(np.asarray(ours), ref, rtol=6e-3, atol=6e-3)
+    # The two paths run identical math on different batch shapes (one
+    # batched call vs per-tile calls), so fp32 reduction orders differ; the
+    # EDM step amplifies per-call output noise by ~sigma (700 at step 0),
+    # i.e. ~1e-4 of UNet noise becomes ~0.03 in latent space. Incoherent
+    # noise stays small in L2; a semantic divergence in tiling / guidance /
+    # stepping is coherent and blows both bounds by orders of magnitude.
+    ours = np.asarray(ours)
+    rel_l2 = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
+    assert np.abs(ours - ref).max() < 0.06, np.abs(ours - ref).max()
 
 
 def test_generate_end_to_end(tiny_setup):

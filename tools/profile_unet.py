@@ -24,23 +24,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    # fetch the first leaf to host: a pure transfer is the only true sync on
+    # the remote platform that does NOT trigger a (slow) remote compile the
+    # way an eager reduce would
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
 def run_traced(fn, logdir):
-    fn()  # compile + warmup
+    _sync(fn())  # compile + warmup
     t0 = time.time()
-    float(jnp.sum(jax.tree_util.tree_leaves(fn())[0].astype(jnp.float32)))
+    _sync(fn())
     wall = time.time() - t0
     with jax.profiler.trace(logdir):
-        out = fn()
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        _sync(fn())
     return wall
 
 
 def parse_xplane(logdir, top=30):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:  # proto moved into tensorflow's tsl tree
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     assert paths, f"no xplane under {logdir}"
@@ -64,6 +75,12 @@ def parse_xplane(logdir, top=30):
             for ev in line.events:
                 md = ev_names.get(ev.metadata_id)
                 name = md.name if md else str(ev.metadata_id)
+                n = name.lstrip("%").lower()
+                # container events (the scan's while op, jit module entries)
+                # overlap their children in the ops line; counting them
+                # would double every leaf op
+                if n.startswith(("jit_", "while", "condition", "body")):
+                    continue
                 dur = ev.duration_ps / 1e9  # ms
                 by_name[name] += dur
                 total += dur
@@ -71,7 +88,7 @@ def parse_xplane(logdir, top=30):
             break  # first device plane with op events
 
     def category(name):
-        n = name.lower()
+        n = name.lstrip("%").lower()
         if "fusion" in n:
             if "conv" in n or "dot" in n:
                 return "matmul/conv fusion"
@@ -131,12 +148,19 @@ def main():
         ids = jnp.asarray([[6.0, 127.0, 0.02]] * b, jnp.float32)
         pose = jnp.zeros((b * f, h8, w8, 320), jnp.bfloat16)
 
-        @jax.jit
-        def init(k):
-            p = model.init(k, sample, t, ctx, ids, pose)
-            return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, sample, t, ctx, ids, pose),
+            jax.random.PRNGKey(0))
+        pool = (np.random.default_rng(0).standard_normal(1 << 22)
+                .astype(np.float32) * 0.05).astype(jnp.bfloat16)
+        c = [0]
 
-        params = init(jax.random.PRNGKey(0))
+        def fill(s):
+            c[0] += 1
+            n = max(int(np.prod(s.shape)), 1)
+            return np.resize(pool[(c[0] * 9973) % (1 << 21):], n).reshape(s.shape)
+
+        params = jax.device_put(jax.tree_util.tree_map(fill, shapes))
 
         @jax.jit
         def fwd():
@@ -145,13 +169,14 @@ def main():
         wall = run_traced(fwd, logdir)
         print(f"UNet fwd wall: {wall*1e3:.1f} ms")
     else:
-        from stableanimator_tpu.pipeline import build_models, generate, init_params
+        from stableanimator_tpu.pipeline import (
+            build_models, generate, fast_init_params)
 
         models = build_models(dtype=jnp.bfloat16)
-        params = jax.jit(lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16),
-            init_params(models, k, height=args.height, width=args.width,
-                        num_frames=2)))(jax.random.PRNGKey(0))
+        params = fast_init_params(models, height=args.height, width=args.width)
+        params = jax.device_put(jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x,
+            params))
         pcfg = PipelineConfig(height=args.height, width=args.width,
                               num_frames=f, tile_size=16, tile_overlap=4,
                               num_inference_steps=25, decode_chunk_size=4)
