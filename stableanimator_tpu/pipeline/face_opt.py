@@ -153,6 +153,14 @@ def make_face_optimizer(models, params, cfg: FaceOptConfig, arcface_fn,
     the embeddings are computed in the same (quirked) space as the
     reference identity embedding (see cli/animate.py --face_channel_order).
     """
+    import dataclasses
+
+    # the crop cannot exceed the latent plane (smoke runs at tiny
+    # resolutions); clamp instead of failing inside dynamic_slice
+    crop = min(cfg.latent_crop, latent_h, latent_w)
+    if crop != cfg.latent_crop:
+        cfg = dataclasses.replace(cfg, latent_crop=crop)
+
     scaling = models.vae.config.scaling_factor
 
     def decode_fn(crops, num_frames):

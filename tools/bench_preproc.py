@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Preprocessing throughput bench: serial per-frame loops (the reference's
+shape — DWPose/dwpose_utils/onnxpose.py:353-359) vs the batched clip path
+(one XLA call per network per clip).
+
+With --dwpose_dir pointing at the real yolox_l.onnx / dw-ll_ucoco_384.onnx
+it benches the real graphs; without, torch-exported stand-ins with the
+same interface (so the dispatch/batching overhead is measured, the conv
+stack is smaller).
+
+  python tools/bench_preproc.py [--frames 32] [--dwpose_dir ckpt/DWPose]
+
+Prints one JSON line: {"serial_fps": .., "batched_fps": .., "speedup": ..}
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def _standin_paths(td):
+    import torch
+    import torch.nn as nn
+
+    # legacy exporter without the (absent) onnxscript package — these plain
+    # conv models never use custom functions (same shim as tests/test_onnx)
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    onnx_proto_utils._add_onnxscript_fn = (
+        lambda model_bytes, custom_opsets: model_bytes)
+
+    class Yolox(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.h8 = nn.Conv2d(3, 85, 8, stride=8)
+            self.h16 = nn.Conv2d(3, 85, 16, stride=16)
+            self.h32 = nn.Conv2d(3, 85, 32, stride=32)
+
+        def forward(self, x):
+            return torch.cat(
+                [h(x).flatten(2).transpose(1, 2)
+                 for h in (self.h8, self.h16, self.h32)], dim=1)
+
+    class Rtm(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 32, 16, stride=16)
+            self.fx = nn.Linear(32 * 16 * 12, 133 * 384)
+            self.fy = nn.Linear(32 * 16 * 12, 133 * 512)
+
+        def forward(self, x):
+            y = self.conv(x).flatten(1)
+            return (self.fx(y).reshape(-1, 133, 384),
+                    self.fy(y).reshape(-1, 133, 512))
+
+    det = os.path.join(td, "det.onnx")
+    pose = os.path.join(td, "pose.onnx")
+    # deterministic weights: the executor bakes them into the jitted HLO as
+    # constants, so determinism is what makes the persistent compile cache
+    # hit across runs
+    torch.manual_seed(0)
+    with torch.no_grad():
+        torch.onnx.export(Yolox().eval(), (torch.zeros(1, 3, 640, 640),),
+                          det, opset_version=17, dynamo=False,
+                          dynamic_axes={"x": {0: "b"}}, input_names=["x"])
+        torch.onnx.export(Rtm().eval(), (torch.zeros(1, 3, 256, 192),),
+                          pose, opset_version=17, dynamo=False,
+                          dynamic_axes={"x": {0: "b"}}, input_names=["x"])
+    return det, pose
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--dwpose_dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from stableanimator_tpu.preproc.wholebody import WholebodyDetector
+
+    td = tempfile.mkdtemp()
+    if args.dwpose_dir:
+        det = os.path.join(args.dwpose_dir, "yolox_l.onnx")
+        pose = os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx")
+    else:
+        det, pose = _standin_paths(td)
+
+    wb = WholebodyDetector(det, pose)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+              for _ in range(args.frames)]
+
+    # warmup both paths (compiles)
+    wb(frames[0])
+    wb.video_poses(frames[:2])
+    wb.video_poses(frames)
+
+    t0 = time.time()
+    serial = [wb(f) for f in frames]
+    t_serial = time.time() - t0
+
+    t0 = time.time()
+    batched = wb.video_poses(frames)
+    t_batched = time.time() - t0
+
+    assert len(serial) == len(batched) == args.frames
+    print(json.dumps({
+        "frames": args.frames,
+        "serial_fps": round(args.frames / t_serial, 2),
+        "batched_fps": round(args.frames / t_batched, 2),
+        "speedup": round(t_serial / t_batched, 2),
+        "models": "real" if args.dwpose_dir else "standin",
+        "backend": __import__("jax").default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
