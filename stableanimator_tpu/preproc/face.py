@@ -194,3 +194,111 @@ def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector]) -> np.nda
         cv2.rectangle(mask, (int(box[0]), int(box[1])),
                       (int(box[2]), int(box[3])), 255, thickness=cv2.FILLED)
     return mask
+
+
+def _bbox_aligned_crop(image_rgb: np.ndarray, bbox, input_size: int):
+    """insightface-style bbox-centered similarity crop (model_zoo
+    landmark/attribute preprocessing): scale = input_size / (1.5 * max side),
+    rotation 0, face center mapped to the crop center. Returns the crop and
+    the 2x3 forward transform (for mapping predictions back)."""
+    w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    center = ((bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0)
+    scale = input_size / (max(w, h) * 1.5)
+    mat = np.array([[scale, 0.0, input_size / 2.0 - center[0] * scale],
+                    [0.0, scale, input_size / 2.0 - center[1] * scale]],
+                   np.float64)
+    crop = cv2.warpAffine(image_rgb, mat, (input_size, input_size))
+    return crop, mat
+
+
+def _invert_affine(mat: np.ndarray) -> np.ndarray:
+    return cv2.invertAffineTransform(mat)
+
+
+class LandmarkModel:
+    """antelopev2 landmark heads (2d106det: 106 2-d points; 1k3d68: 68 3-d
+    points) through the ONNX->XLA executor — the reference loads these via
+    insightface FaceAnalysis('antelopev2') (reference face_model.py:12-16).
+    Decode follows insightface model_zoo/landmark.py: predictions in
+    [-1, 1] crop space -> pixel coords via the inverse crop transform."""
+
+    def __init__(self, onnx_path: str, lmk_dim: int = 2, lmk_num: int = 106,
+                 input_size: int = 192):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.lmk_dim = lmk_dim
+        self.lmk_num = lmk_num
+        self.input_size = input_size
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+
+    def __call__(self, image_rgb: np.ndarray, bbox) -> np.ndarray:
+        size = self.input_size
+        crop, mat = _bbox_aligned_crop(image_rgb, bbox, size)
+        blob = crop.astype(np.float32).transpose(2, 0, 1)
+        pred = np.array(self._fn(blob[None])[0])[0].reshape(-1, self.lmk_dim)
+        if pred.shape[0] > self.lmk_num:
+            pred = pred[-self.lmk_num:]
+        pred[:, :2] = (pred[:, :2] + 1.0) * (size // 2)
+        if self.lmk_dim == 3:
+            pred[:, 2] *= size // 2
+        inv = _invert_affine(mat)
+        pts = np.concatenate([pred[:, :2], np.ones((pred.shape[0], 1))], 1)
+        pred[:, :2] = pts @ inv.T
+        return pred
+
+
+class GenderAgeModel:
+    """antelopev2 genderage head: [1, 3] = (female, male, age/100)
+    (insightface model_zoo/attribute.py decode)."""
+
+    def __init__(self, onnx_path: str, input_size: int = 96):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.input_size = input_size
+        self._fn = jax.jit(load_onnx_function(onnx_path))
+
+    def __call__(self, image_rgb: np.ndarray, bbox):
+        crop, _ = _bbox_aligned_crop(image_rgb, bbox, self.input_size)
+        blob = crop.astype(np.float32).transpose(2, 0, 1)
+        pred = np.asarray(self._fn(blob[None])[0])[0]
+        return int(np.argmax(pred[:2])), int(round(float(pred[2]) * 100))
+
+
+class FaceAnalyzer:
+    """Full FaceAnalysis('antelopev2') equivalent (reference
+    face_model.py:12-16): detection + every auxiliary model found in the
+    antelopev2 directory. Returns per-face dicts with bbox/kps/embedding
+    and, when the onnx files exist, landmark_2d_106 / landmark_3d_68 /
+    (gender, age)."""
+
+    def __init__(self, antelopev2_dir: str):
+        import os
+
+        p = lambda n: os.path.join(antelopev2_dir, n)
+        self.detector = FaceDetector(p("scrfd_10g_bnkps.onnx"))
+        self.encoder = (ArcFaceEncoder(p("glintr100.onnx"))
+                        if os.path.exists(p("glintr100.onnx")) else None)
+        self.lmk2d = (LandmarkModel(p("2d106det.onnx"), lmk_dim=2, lmk_num=106)
+                      if os.path.exists(p("2d106det.onnx")) else None)
+        self.lmk3d = (LandmarkModel(p("1k3d68.onnx"), lmk_dim=3, lmk_num=68)
+                      if os.path.exists(p("1k3d68.onnx")) else None)
+        self.genderage = (GenderAgeModel(p("genderage.onnx"))
+                          if os.path.exists(p("genderage.onnx")) else None)
+
+    def __call__(self, image_rgb: np.ndarray):
+        dets, kps = self.detector(image_rgb)
+        faces = []
+        for i in range(len(dets)):
+            face = {"bbox": dets[i, :4], "det_score": float(dets[i, 4]),
+                    "kps": kps[i]}
+            if self.encoder is not None:
+                face["embedding"] = self.encoder(image_rgb, kps[i])
+            if self.lmk2d is not None:
+                face["landmark_2d_106"] = self.lmk2d(image_rgb, dets[i, :4])
+            if self.lmk3d is not None:
+                face["landmark_3d_68"] = self.lmk3d(image_rgb, dets[i, :4])
+            if self.genderage is not None:
+                face["gender"], face["age"] = self.genderage(image_rgb,
+                                                             dets[i, :4])
+            faces.append(face)
+        return faces

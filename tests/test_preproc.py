@@ -372,3 +372,93 @@ class TestBatchedPreprocParity:
                   for f in frames]
         for b, s in zip(batched, serial):
             np.testing.assert_allclose(b, s, rtol=1e-4, atol=1e-4)
+
+
+class TestFaceAnalyzer:
+    """FaceAnalysis('antelopev2')-equivalent: every auxiliary model in the
+    five-pack (2d106det / 1k3d68 / genderage) decoded per the insightface
+    conventions (reference face_model.py:12-16 loads all five)."""
+
+    def _write_pack(self, d):
+        torch.manual_seed(4)
+
+        class ScrfdStandin(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.heads = nn.ModuleList([
+                    nn.Conv2d(3, 2 * 15, s, stride=s) for s in (8, 16, 32)])
+
+            def forward(self, x):
+                outs_s, outs_b, outs_k = [], [], []
+                for head in self.heads:
+                    y = head(x)
+                    b, c, hh, ww = y.shape
+                    y = y.reshape(1, 2, 15, hh, ww).permute(0, 3, 4, 1, 2)
+                    y = y.reshape(1, hh * ww * 2, 15)
+                    outs_s.append((y[..., :1] + 1.0).sigmoid().reshape(-1, 1))
+                    outs_b.append(y[..., 1:5].abs().reshape(-1, 4) * 4.0)
+                    outs_k.append(y[..., 5:].reshape(-1, 10))
+                return tuple(outs_s) + tuple(outs_b) + tuple(outs_k)
+
+        class Lmk(nn.Module):
+            def __init__(self, n):
+                super().__init__()
+                self.conv = nn.Conv2d(3, 4, 32, stride=32)
+                self.fc = nn.Linear(4 * 6 * 6, n)
+
+            def forward(self, x):
+                return torch.tanh(self.fc(self.conv(x).flatten(1)))
+
+        class GA(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Conv2d(3, 4, 16, stride=16)
+                self.fc = nn.Linear(4 * 6 * 6, 3)
+
+            def forward(self, x):
+                return torch.sigmoid(self.fc(self.conv(x).flatten(1)))
+
+        _export(d, ScrfdStandin(), (torch.zeros(1, 3, 64, 64),),
+                name="scrfd_10g_bnkps.onnx")
+        _export(d, Lmk(212), (torch.zeros(1, 3, 192, 192),),
+                name="2d106det.onnx")
+        _export(d, Lmk(204), (torch.zeros(1, 3, 192, 192),),
+                name="1k3d68.onnx")
+        _export(d, GA(), (torch.zeros(1, 3, 96, 96),), name="genderage.onnx")
+
+    def test_full_pack_analysis(self, tmp_path):
+        from stableanimator_tpu.preproc.face import FaceAnalyzer
+
+        self._write_pack(tmp_path)
+        an = FaceAnalyzer(str(tmp_path))
+        an.detector.input_size = (64, 64)
+        img = np.random.default_rng(4).integers(0, 255, (128, 128, 3),
+                                                dtype=np.uint8)
+        faces = an(img)
+        assert len(faces) >= 1
+        f = faces[0]
+        assert f["landmark_2d_106"].shape == (106, 2)
+        assert f["landmark_3d_68"].shape == (68, 3)
+        assert f["gender"] in (0, 1) and 0 <= f["age"] <= 100
+        # tanh outputs in [-1,1] -> landmarks stay inside ~the 1.5x-padded
+        # bbox neighbourhood after the inverse crop transform
+        bb = f["bbox"]
+        side = 1.5 * max(bb[2] - bb[0], bb[3] - bb[1])
+        cx, cy = (bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2
+        lm = f["landmark_2d_106"]
+        assert np.all(np.abs(lm[:, 0] - cx) <= side)
+        assert np.all(np.abs(lm[:, 1] - cy) <= side)
+
+    def test_missing_aux_models_are_optional(self, tmp_path):
+        from stableanimator_tpu.preproc.face import FaceAnalyzer
+
+        self._write_pack(tmp_path)
+        for n in ("2d106det.onnx", "1k3d68.onnx", "genderage.onnx"):
+            (tmp_path / n).unlink()
+        an = FaceAnalyzer(str(tmp_path))
+        an.detector.input_size = (64, 64)
+        img = np.random.default_rng(5).integers(0, 255, (96, 96, 3),
+                                                dtype=np.uint8)
+        faces = an(img)
+        for f in faces:
+            assert "landmark_2d_106" not in f and "gender" not in f
