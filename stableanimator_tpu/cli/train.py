@@ -57,6 +57,11 @@ def parse_args():
                    default="unet,pose_net,face_encoder",
                    help="what the optimizer updates (reference trains all "
                         "three; 'pose_net,face_encoder' fits one 16GB chip)")
+    p.add_argument("--model_scale", type=str, default="full",
+                   choices=["full", "micro"],
+                   help="'micro' = depth-1 tiny model zoo for smoke-testing "
+                        "the full training loop (data, sharding, step, "
+                        "metrics, checkpoint/resume) in seconds")
     return p.parse_args()
 
 
@@ -96,9 +101,19 @@ def main():
     pipe = PipelineConfig(height=args.dataset_height, width=args.dataset_width,
                           num_frames=args.sample_n_frames)
 
-    models = build_models(
+    model_kwargs = dict(
         dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else None,
         remat=args.gradient_checkpointing)
+    if args.model_scale == "micro":
+        import dataclasses as _dc
+
+        from stableanimator_tpu.core.config import micro_model_kwargs
+
+        model_kwargs.update(micro_model_kwargs())
+        # real datasets carry 512-d ArcFace embeddings
+        model_kwargs["face_cfg"] = _dc.replace(
+            model_kwargs["face_cfg"], id_embeddings_dim=512)
+    models = build_models(**model_kwargs)
     params = load_params(args.checkpoint_dir, models, args.allow_random_init,
                          init_id_adapter=not args.finetune_mode,
                          height=args.dataset_height, width=args.dataset_width)
@@ -121,8 +136,13 @@ def main():
         restored = mgr.restore({"params": state.params,
                                 "opt_state": state.opt_state,
                                 "step": state.step}, step=step)
-        state = TrainState(restored["step"], restored["params"], state.frozen,
-                           restored["opt_state"])
+        # the restored step scalar comes back COMMITTED to a single device;
+        # rebuild it uncommitted (and re-pin the tree shardings) so the
+        # jitted step sees consistent devices
+        state = TrainState(jnp.asarray(int(restored["step"]), jnp.int32),
+                           shard_params(restored["params"], mesh),
+                           state.frozen,
+                           shard_optimizer_state(restored["opt_state"], mesh))
         print(f"resumed from step {int(state.step)}")
 
     rec = vec = None

@@ -238,3 +238,23 @@ def from_json(cls, text: str):
     raw = json.loads(text)
     fields = {f.name for f in dataclasses.fields(cls)}
     return cls(**{k: _freeze(v) for k, v in raw.items() if k in fields})
+
+
+def micro_model_kwargs() -> dict:
+    """Depth-1 micro model-zoo kwargs for `pipeline.build_models`: same
+    topology as the full stack (4-level UNet with CrossAttn/Down/Up blocks,
+    temporal mixing, all five conditioning models) but one resnet /
+    transformer layer per block. Used by smoke tests, the driver dryrun and
+    `cli.train --model_scale micro` — any place that exercises graph
+    structure rather than capacity."""
+    return dict(
+        unet_cfg=dataclasses.replace(UNetConfig.tiny(), layers_per_block=1),
+        vae_cfg=dataclasses.replace(VAEConfig.tiny(), layers_per_block=1),
+        clip_cfg=dataclasses.replace(
+            CLIPVisionConfig.tiny(), image_size=64, num_layers=1),
+        pose_cfg=dataclasses.replace(
+            PoseNetConfig.tiny(), noise_latent_channels=32),
+        face_cfg=dataclasses.replace(
+            FaceEncoderConfig.tiny(), cross_attention_dim=48,
+            clip_embeddings_dim=48, depth=1),
+    )

@@ -37,29 +37,9 @@ def build_micro_models(**overrides):
     resnet/transformer layer per block — the graph structure every test
     exercises is identical, XLA:CPU compile time is roughly halved.
     Parity tests that pin exact architecture depth build their own configs."""
-    import dataclasses
-
-    from stableanimator_tpu.core.config import (
-        CLIPVisionConfig,
-        FaceEncoderConfig,
-        PoseNetConfig,
-        UNetConfig,
-        VAEConfig,
-    )
+    from stableanimator_tpu.core.config import micro_model_kwargs
     from stableanimator_tpu.pipeline import build_models
 
-    kwargs = dict(
-        unet_cfg=dataclasses.replace(UNetConfig.tiny(), layers_per_block=1),
-        vae_cfg=dataclasses.replace(VAEConfig.tiny(), layers_per_block=1),
-        clip_cfg=dataclasses.replace(
-            CLIPVisionConfig.tiny(), image_size=64, num_layers=1),
-        pose_cfg=dataclasses.replace(
-            PoseNetConfig.tiny(), noise_latent_channels=32),
-        face_cfg=dataclasses.replace(
-            FaceEncoderConfig.tiny(), cross_attention_dim=48,
-            clip_embeddings_dim=48, depth=1),
-        dtype=None,
-        use_flash=False,
-    )
+    kwargs = dict(micro_model_kwargs(), dtype=None, use_flash=False)
     kwargs.update(overrides)
     return build_models(**kwargs)
