@@ -46,12 +46,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_blocks(q_len: int, kv_len: int):
-    # With K/V streamed via the grid, VMEM holds only one q block + double-
-    # buffered K/V tiles; block_q 512 halves the number of K/V streaming
-    # passes versus 256 (K/V re-streams once per q block).
-    block_q = min(512, _round_up(q_len, 128))
-    block_k = min(1024, _round_up(kv_len, 128))
+def _pick_blocks(q_len: int, kv_len: int, hd: int = 64):
+    """VMEM-budgeted tiles. The streamed forward fuses every head on the
+    feature axis, so per-block VMEM scales with hd = H*D: double-buffered
+    K/V (2*2*block_k*hd*2B) + fp32 accumulator (block_q*hd*4B) + logits
+    (block_q*block_k*4B) + q/o blocks must stay inside the ~16 MB scoped
+    VMEM limit. 512/1024 measured fastest at hd<=512 (one v5e chip);
+    wider fused-head widths (576x1024 levels: hd=640, 1280) halve the
+    tiles — at hd=640 the old tiles hit 20.7 MB and failed to compile."""
+    if hd <= 512:
+        bq, bk = 512, 1024
+    else:
+        bq, bk = 256, 512
+    block_q = min(bq, _round_up(q_len, 128))
+    block_k = min(bk, _round_up(kv_len, 128))
     return block_q, block_k
 
 
@@ -181,7 +189,7 @@ def _flash_fwd_resident(q, k, v, scale, interpret, with_lse):
     kv_len = k.shape[1]
     heads_per_step, h_pad = _resident_heads_per_step(h, d)
     hsteps = h_pad // heads_per_step
-    block_q, block_k = _pick_blocks(q_len, kv_len)
+    block_q, block_k = _pick_blocks(q_len, kv_len, heads_per_step * d)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -237,7 +245,9 @@ _RESIDENT_KV_MAX_BYTES = int(os.environ.get(
 def _use_resident(q, k):
     d = q.shape[-1]
     heads_per_step, _ = _resident_heads_per_step(q.shape[2], d)
-    kv_pad = _round_up(k.shape[1], _pick_blocks(q.shape[1], k.shape[1])[1])
+    kv_pad = _round_up(
+        k.shape[1],
+        _pick_blocks(q.shape[1], k.shape[1], heads_per_step * d)[1])
     return (kv_pad * heads_per_step * d * q.dtype.itemsize
             <= _RESIDENT_KV_MAX_BYTES)
 
@@ -263,7 +273,7 @@ def _flash_fwd_bshd(q, k, v, scale, interpret, with_lse):
     the kernel; the lse output is only materialised on the training path."""
     b, q_len, h, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_k = _pick_blocks(q_len, kv_len)
+    block_q, block_k = _pick_blocks(q_len, kv_len, h * d)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -399,7 +409,7 @@ def _flash_bwd(scale, interpret, res, g):
     lse = to_bh(lse_bshd)  # [bh, Sq, 1]
     bh = b * h
 
-    block_q, block_k = _pick_blocks(q_len, kv_len)
+    block_q, block_k = _pick_blocks(q_len, kv_len, d)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
