@@ -56,6 +56,10 @@ def _pick_blocks(q_len: int, kv_len: int, hd: int = 64):
     tiles — at hd=640 the old tiles hit 20.7 MB and failed to compile."""
     if hd <= 512:
         bq, bk = 512, 1024
+    elif hd <= 1024:
+        # swept on-chip at hd=640 (S=1024 and 2304): 256:1024 beats
+        # 512:512 / 256:512 / 512:1024 at both lengths and stays ~11 MB
+        bq, bk = 256, 1024
     else:
         bq, bk = 256, 512
     block_q = min(bq, _round_up(q_len, 128))
