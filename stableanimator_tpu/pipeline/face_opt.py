@@ -168,10 +168,17 @@ def make_face_optimizer(models, params, cfg: FaceOptConfig, arcface_fn,
                                 num_frames=num_frames,
                                 method=models.vae.decode)
 
+    # recogniser weights as DEVICE arrays: numpy closures trace into the
+    # generate jit as HLO literal constants — a 260 MB glintr100 blob per
+    # compile; jax.Array constants are hoisted as buffer parameters instead
+    arc_weights = (jax.tree_util.tree_map(jnp.asarray, arcface_fn.weights)
+                   if hasattr(arcface_fn, "weights") else None)
+
     def embed_fn(faces_nchw):
         if channel_order == "reference":
             faces_nchw = faces_nchw[:, ::-1, :, :]
-        out = arcface_fn(faces_nchw)
+        out = (arcface_fn(faces_nchw, _weights=arc_weights)
+               if arc_weights is not None else arcface_fn(faces_nchw))
         return out[0] if isinstance(out, (tuple, list)) else out
 
     boxes = face_boxes_from_pose_renders(pose_pixels, latent_h, latent_w,

@@ -98,7 +98,7 @@ class PersonDetector:
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.input_size = input_size
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def _postprocess(self, raw_one: np.ndarray, ratio: float,
                      nms_thr: float, score_thr: float,

@@ -80,7 +80,7 @@ class FaceDetector:
         self.input_size = input_size
         self.det_thresh = det_thresh
         self.nms_thresh = nms_thresh
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
         self.strides = (8, 16, 32)
         self.num_anchors = 2
 
@@ -133,7 +133,7 @@ class ArcFaceEncoder:
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.size = size
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def __call__(self, image_rgb: np.ndarray, landmarks5: np.ndarray) -> np.ndarray:
         aligned = norm_crop(image_rgb, landmarks5, self.size)
@@ -168,7 +168,7 @@ class FaceParser:
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.size = size
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
         img = cv2.resize(image_rgb, (self.size, self.size)).astype(np.float32)
@@ -229,7 +229,7 @@ class LandmarkModel:
         self.lmk_dim = lmk_dim
         self.lmk_num = lmk_num
         self.input_size = input_size
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def __call__(self, image_rgb: np.ndarray, bbox) -> np.ndarray:
         size = self.input_size
@@ -255,7 +255,7 @@ class GenderAgeModel:
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.input_size = input_size
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def __call__(self, image_rgb: np.ndarray, bbox):
         crop, _ = _bbox_aligned_crop(image_rgb, bbox, self.input_size)

@@ -240,17 +240,28 @@ _ELEMENTWISE = {
 
 
 class OnnxFunction:
-    """Callable wrapper: fn(*inputs) -> list of outputs (jit-compatible)."""
+    """Callable wrapper: fn(*inputs) -> list of outputs (jit-compatible).
+
+    Initializers split two ways: small / integer tensors (reshape targets,
+    resize scales, TopK k, ...) stay host-side numpy so shape-affecting ops
+    can fold them at trace time; everything else is a WEIGHT, exposed in
+    `self.weights` so `jitted()` can pass it as a function argument — a
+    plain `jax.jit(fn)` would bake every weight into the HLO as a literal
+    constant, and 100 MB+ constant blobs make (remote) compiles explode."""
 
     def __init__(self, graph: Graph):
         self.graph = graph
         self.input_names = [n for n, _ in graph.inputs]
-        self.params = {k: (jnp.asarray(v) if v.dtype != np.int64 else v)
-                       for k, v in graph.initializers.items()}
+        self.static_params = {
+            k: v for k, v in graph.initializers.items()
+            if v.dtype in (np.int64, np.int32, np.bool_) or v.size <= 64}
+        self.weights = {k: v for k, v in graph.initializers.items()
+                        if k not in self.static_params}
 
-    def __call__(self, *inputs):
+    def __call__(self, *inputs, _weights=None):
         env: Dict[str, Any] = {}
-        env.update(self.graph.initializers)  # keep numpy for shape folding
+        env.update(self.static_params)  # host numpy: foldable at trace time
+        env.update(self.weights if _weights is None else _weights)
         for name, x in zip(self.input_names, inputs):
             env[name] = x
         for node in self.graph.nodes:
@@ -262,6 +273,21 @@ class OnnxFunction:
                 if name:
                     env[name] = val
         return [env[o] for o in self.graph.outputs]
+
+    def jitted(self):
+        """jit-compiled callable with weights passed as device-resident
+        ARGUMENTS (transferred once) instead of trace-time constants."""
+        import jax as _jax
+
+        fn = _jax.jit(lambda weights, *inputs: self(*inputs, _weights=weights))
+        state = {}
+
+        def wrapper(*inputs):
+            if "w" not in state:
+                state["w"] = _jax.device_put(self.weights)
+            return fn(state["w"], *inputs)
+
+        return wrapper
 
     # -- single-node dispatch ------------------------------------------------
 

@@ -92,7 +92,7 @@ class PoseEstimator:
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.input_size = input_size  # (w, h)
-        self._fn = jax.jit(load_onnx_function(onnx_path))
+        self._fn = load_onnx_function(onnx_path).jitted()
 
     def _prep(self, image_rgb: np.ndarray, bboxes: np.ndarray):
         """Host-side geometry: affine person crops + ImageNet normalise."""

@@ -101,6 +101,11 @@ def main():
         det, pose = _standin_paths(td)
 
     wb = WholebodyDetector(det, pose)
+    if not args.dwpose_dir:
+        # stand-ins: a smaller letterbox target keeps the batch-16 compile
+        # inside the remote-compile service's patience (the dispatch
+        # batching being measured is unaffected)
+        wb.detector.input_size = (320, 320)
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
               for _ in range(args.frames)]

@@ -120,7 +120,7 @@ def fvd(gen_frames, real_frames, i3d_onnx_path, clip_len=16):
 
     from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
-    fn = jax.jit(load_onnx_function(i3d_onnx_path))
+    fn = load_onnx_function(i3d_onnx_path).jitted()
     gen_clips = _windows(gen_frames, clip_len)
     real_clips = _windows(real_frames, clip_len)
     if not gen_clips or not real_clips:
