@@ -108,14 +108,27 @@ class PoseEstimator:
             scales.append(scale)
         return crops, centers, scales
 
+    # largest single network call; bigger crop sets run as sequential
+    # chunks — unbounded power-of-two padding would let a pathological
+    # detector output (thousands of false boxes) allocate tens of GB
+    MAX_CROP_BATCH = 256
+
     def _run_crops(self, crops):
-        """ONE padded network call over a stack of crops -> (simcc_x, simcc_y).
+        """Padded network call(s) over a stack of crops -> (simcc_x, simcc_y).
         Padded to a power-of-two bucket so clips of any person count reuse a
-        handful of compiled graphs."""
+        handful of compiled graphs; above MAX_CROP_BATCH the batch is
+        processed in chunks."""
         from stableanimator_tpu.preproc.detection import _pad_pow2
 
         batch = np.stack(crops)
         n = batch.shape[0]
+        if n > self.MAX_CROP_BATCH:
+            xs, ys = [], []
+            for s in range(0, n, self.MAX_CROP_BATCH):
+                x, y = self._run_crops(crops[s:s + self.MAX_CROP_BATCH])
+                xs.append(x)
+                ys.append(y)
+            return np.concatenate(xs), np.concatenate(ys)
         pad = _pad_pow2(n, floor=4) - n
         if pad:
             batch = np.concatenate(

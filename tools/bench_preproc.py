@@ -47,21 +47,28 @@ def _standin_paths(td):
             self.h32 = nn.Conv2d(3, 85, 32, stride=32)
 
         def forward(self, x):
+            # outputs scaled down so no random "detection" survives the
+            # score threshold (obj*cls products ~1e-4 << 0.1): each frame
+            # then takes the full-image fallback box (1 pose crop), and the
+            # bench measures network dispatch/batching rather than
+            # degenerate NMS on random boxes
             return torch.cat(
-                [h(x).flatten(2).transpose(1, 2)
+                [h(x).flatten(2).transpose(1, 2) * 0.01
                  for h in (self.h8, self.h16, self.h32)], dim=1)
 
     class Rtm(nn.Module):
+        # per-keypoint conv features + shared SimCC linears — same output
+        # contract as dw-ll_ucoco_384 with ~0.2M params (a dense head from
+        # the flattened map would be ~180M params = a 700 MB HLO)
         def __init__(self):
             super().__init__()
-            self.conv = nn.Conv2d(3, 32, 16, stride=16)
-            self.fx = nn.Linear(32 * 16 * 12, 133 * 384)
-            self.fy = nn.Linear(32 * 16 * 12, 133 * 512)
+            self.conv = nn.Conv2d(3, 133, 16, stride=16)
+            self.fx = nn.Linear(16 * 12, 384)
+            self.fy = nn.Linear(16 * 12, 512)
 
         def forward(self, x):
-            y = self.conv(x).flatten(1)
-            return (self.fx(y).reshape(-1, 133, 384),
-                    self.fy(y).reshape(-1, 133, 512))
+            y = self.conv(x).flatten(2)  # [B, 133, 192]
+            return self.fx(y), self.fy(y)
 
     det = os.path.join(td, "det.onnx")
     pose = os.path.join(td, "pose.onnx")
