@@ -73,7 +73,16 @@ class Attention(nn.Module):
         if context is None:
             context = x
         n, sq, _ = x.shape
-        if context.shape[1] == 1:
+        # The single-key shortcut below is only valid when the ATTENTION
+        # axis has one element. For temporal self-attention (seq_axis_group
+        # set) the attention axis after the frame-major transpose is the F
+        # frames, not context.shape[1] (which is the spatial token count) —
+        # firing the shortcut there would silently drop all cross-frame
+        # mixing (hit at 1x1 spatial, e.g. tiny-config mid blocks).
+        single_key = context.shape[1] == 1 and not (
+            is_self and self.seq_axis_group is not None
+            and self.seq_axis_group[1] != 1)
+        if single_key:
             # Exact shortcut: softmax over a single key is identically 1, so
             # the output is just to_out(to_v(context)) broadcast over the
             # query axis — q/k never influence the value (and their grads

@@ -124,21 +124,32 @@ class PersonDetector:
         raw = np.asarray(self._fn(img[None])[0])
         return self._postprocess(raw[0], ratio, nms_thr, score_thr, final_thr)
 
+    # Upper bound on frames per network call: an unbounded pow2 pad turns a
+    # several-hundred-frame clip into a 512x3x640x640 fp32 batch (+ YOLOX
+    # activations), blowing a 16 GB chip's HBM. 64 frames is ~315 MB of
+    # input and keeps the MXU saturated.
+    MAX_FRAME_BATCH = 64
+
     def detect_batch(self, frames_rgb, nms_thr=0.45, score_thr=0.1,
                      final_thr=0.3):
-        """All frames of a clip through ONE network call (padded to a
-        power-of-two bucket). Letterbox + NMS stay host-side (tiny);
-        returns a list of [N_i, 4] person boxes per frame."""
+        """All frames of a clip through batched network calls (padded to
+        power-of-two buckets, chunked at MAX_FRAME_BATCH). Letterbox + NMS
+        stay host-side (tiny); returns a list of [N_i, 4] person boxes per
+        frame."""
         if len(frames_rgb) == 0:
             return []
-        prepped = [letterbox(f, self.input_size) for f in frames_rgb]
-        batch = np.stack([p[0] for p in prepped])
-        n = batch.shape[0]
-        pad = _pad_pow2(n) - n
-        if pad:
-            batch = np.concatenate(
-                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-        raw = np.asarray(self._fn(batch)[0])[:n]
-        return [self._postprocess(raw[i], prepped[i][1],
-                                  nms_thr, score_thr, final_thr)
-                for i in range(n)]
+        out = []
+        for start in range(0, len(frames_rgb), self.MAX_FRAME_BATCH):
+            chunk = frames_rgb[start:start + self.MAX_FRAME_BATCH]
+            prepped = [letterbox(f, self.input_size) for f in chunk]
+            batch = np.stack([p[0] for p in prepped])
+            n = batch.shape[0]
+            pad = _pad_pow2(n) - n
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+            raw = np.asarray(self._fn(batch)[0])[:n]
+            out.extend(self._postprocess(raw[i], prepped[i][1],
+                                         nms_thr, score_thr, final_thr)
+                       for i in range(n))
+        return out

@@ -104,6 +104,67 @@ class TestAttention:
         assert out.shape == q.shape
 
 
+class TestTemporalAttentionAt1x1:
+    def test_cross_frame_mixing_survives_single_spatial_token(self):
+        """At 1x1 spatial (context.shape[1] == 1) temporal SELF-attention
+        must still attend across the F frames — the single-key softmax
+        shortcut is only valid for true single-key attention (it silently
+        dropped all cross-frame mixing here before the round-3 fix).
+        Reference math: unet.py:872-958 frame-major attention."""
+        from stableanimator_tpu.models.transformer import Attention
+
+        b, f, sq, c = 2, 3, 1, 8
+        heads, dim_head = 2, 4
+        attn = Attention(heads, dim_head, c, use_flash=False,
+                         seq_axis_group=(b, f))
+        x = jnp.asarray(_rand(b * f, sq, c, seed=7))
+        params = attn.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(attn.apply(params, x))
+
+        # manual frame-major attention oracle
+        p = params["params"]
+        q = (np.asarray(x) @ np.asarray(p["to_q"]["kernel"]))
+        k = (np.asarray(x) @ np.asarray(p["to_k"]["kernel"]))
+        v = (np.asarray(x) @ np.asarray(p["to_v"]["kernel"]))
+
+        def fm(t):  # [b*f, 1, heads*dim_head] -> [b, heads, f, dim_head]
+            return (t.reshape(b, f, heads, dim_head)
+                    .transpose(0, 2, 1, 3))
+
+        qf, kf, vf = fm(q), fm(k), fm(v)
+        logits = (qf @ kf.transpose(0, 1, 3, 2)) / np.sqrt(dim_head)
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        o = (w @ vf).transpose(0, 2, 1, 3).reshape(b * f, 1, heads * dim_head)
+        want = o @ np.asarray(p["to_out"]["kernel"]) + np.asarray(
+            p["to_out"]["bias"])
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+        # and it must NOT equal the (wrong) single-key shortcut output
+        shortcut = (np.asarray(x) @ np.asarray(p["to_v"]["kernel"])
+                    @ np.asarray(p["to_out"]["kernel"])
+                    + np.asarray(p["to_out"]["bias"]))
+        assert np.abs(out - shortcut).max() > 1e-4
+
+    def test_shortcut_still_fires_for_single_key_cross_attention(self):
+        """Temporal cross-attention to one CLIP token keeps the exact
+        softmax==1 shortcut (reference unet.py:640-654)."""
+        from stableanimator_tpu.models.transformer import Attention
+
+        b, f, sq, c = 1, 3, 4, 8
+        attn = Attention(2, 4, c, use_flash=False, seq_axis_group=(b, f))
+        x = jnp.asarray(_rand(b * f, sq, c, seed=8))
+        ctx = jnp.asarray(_rand(b * f, 1, c, seed=9))
+        params = attn.init(jax.random.PRNGKey(0), x, ctx)
+        out = np.asarray(attn.apply(params, x, ctx))
+        p = params["params"]
+        want = (np.asarray(ctx) @ np.asarray(p["to_v"]["kernel"])
+                @ np.asarray(p["to_out"]["kernel"])
+                + np.asarray(p["to_out"]["bias"]))
+        np.testing.assert_allclose(out, np.broadcast_to(want, out.shape),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestResize:
     def test_bicubic_align_corners_matches_torch(self):
         x = _rand(2, 17, 23, 3)

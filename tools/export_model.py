@@ -143,10 +143,16 @@ def main():
                            height=h, width=w)
     else:
         tree = fast_init_params(models, height=h, width=w)
-    if args.what != "generate":
+    if args.what == "unet":
+        # bf16 cast is for the UNet only: the VAE is an fp32 island (the
+        # pipeline reloads vae.npz in fp32 — see cli/animate.py), so
+        # exported VAE artifacts must keep fp32 params to match pipeline
+        # numerics.
         tree = jax.tree_util.tree_map(
             lambda x: np.asarray(x).astype(jnp.bfloat16)
             if np.asarray(x).dtype == np.float32 else np.asarray(x), tree)
+    elif args.what != "generate":
+        tree = jax.tree_util.tree_map(np.asarray, tree)
 
     if args.what == "unet":
         exported = export_unet(models.unet, {"params": tree["unet"]},
