@@ -127,6 +127,7 @@ def main():
     from stableanimator_tpu.preproc.face import FaceModel
     from stableanimator_tpu.utils.image import (
         export_to_gif,
+        export_to_mp4,
         frames_to_uint8,
         load_images_from_folder,
         pil_to_unit_array,
@@ -228,8 +229,13 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     u8 = frames_to_uint8(np.asarray(frames, np.float32))
     export_to_gif(u8, os.path.join(args.output_dir, "animation_video.gif"))
+    # the reference names its artifact animation_video.mp4
+    # (inference_basic.py:560-562) — write a real mp4, at the 8 fps its
+    # export call uses
+    export_to_mp4(u8, os.path.join(args.output_dir, "animation_video.mp4"),
+                  fps=8)
     save_frames_as_png(u8, os.path.join(args.output_dir, "animated_images"))
-    print(f"wrote {args.output_dir}/animation_video.gif")
+    print(f"wrote {args.output_dir}/animation_video.{{gif,mp4}}")
 
 
 if __name__ == "__main__":

@@ -17,17 +17,27 @@ def parse_args():
     p.add_argument("--image_folder", type=str, required=True)
     p.add_argument("--scrfd_onnx", type=str,
                    default="checkpoints/antelopev2/scrfd_10g_bnkps.onnx")
+    p.add_argument("--retinaface_onnx", type=str,
+                   default="checkpoints/retinaface_resnet50.onnx",
+                   help="middle-tier fallback detector (reference "
+                        "face_mask_extraction.py:27-31, thr 0.97)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    from stableanimator_tpu.preproc.face import FaceDetector, face_mask
+    from stableanimator_tpu.preproc.face import (
+        FaceDetector, RetinaFaceDetector, face_mask)
 
     detector = (FaceDetector(args.scrfd_onnx)
                 if os.path.exists(args.scrfd_onnx) else None)
     if detector is None:
         print(f"WARNING: {args.scrfd_onnx} missing; masks fall back to all-white")
+    fallback = (RetinaFaceDetector(args.retinaface_onnx)
+                if os.path.exists(args.retinaface_onnx) else None)
+    if fallback is None:
+        print(f"note: {args.retinaface_onnx} missing; RetinaFace fallback "
+              f"tier disabled (detector miss -> all-white directly)")
 
     out_dir = os.path.join(os.path.dirname(args.image_folder.rstrip("/")), "faces")
     os.makedirs(out_dir, exist_ok=True)
@@ -41,7 +51,8 @@ def main():
                 continue
             img = cv2.cvtColor(cv2.imread(os.path.join(root, file)),
                                cv2.COLOR_BGR2RGB)
-            cv2.imwrite(save_path, face_mask(img, detector))
+            cv2.imwrite(save_path,
+                        face_mask(img, detector, fallback_detector=fallback))
             print(f"Finish face Extraction: {save_path}")
 
 

@@ -180,13 +180,102 @@ class FaceParser:
         return out[0].argmax(0).astype(np.uint8)
 
 
-def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector]) -> np.ndarray:
-    """Binary face mask: filled detector boxes, else all-255
-    (reference face_mask_extraction.py:10-38)."""
+class RetinaFaceDetector:
+    """RetinaFace detector (the reference's facexlib middle tier:
+    FaceRestoreHelper(det_model='retinaface_resnet50'),
+    face_mask_extraction.py:27-31) through the ONNX->XLA executor.
+
+    Standard RetinaFace decode (biubug6 formulation, which facexlib uses):
+    priors over steps 8/16/32 with min_sizes [[16,32],[64,128],[256,512]],
+    variances (0.1, 0.2); preprocess = BGR float minus (104,117,123).
+    Runs letterboxed at a fixed input size (one XLA graph) instead of
+    facexlib's native-resolution path; boxes are mapped back through the
+    letterbox ratio.
+    """
+
+    STEPS = (8, 16, 32)
+    MIN_SIZES = ((16, 32), (64, 128), (256, 512))
+    VARIANCES = (0.1, 0.2)
+
+    def __init__(self, onnx_path: str, input_size=(640, 640),
+                 nms_thresh: float = 0.4):
+        from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
+
+        self.input_size = input_size
+        self.nms_thresh = nms_thresh
+        self._fn = load_onnx_function(onnx_path).jitted()
+        self._priors = self._make_priors(*input_size)
+
+    @classmethod
+    def _make_priors(cls, in_h: int, in_w: int) -> np.ndarray:
+        """[N, 4] normalised (cx, cy, w, h) anchors."""
+        priors = []
+        for step, sizes in zip(cls.STEPS, cls.MIN_SIZES):
+            fh = -(-in_h // step)  # ceil
+            fw = -(-in_w // step)
+            for i in range(fh):
+                for j in range(fw):
+                    for m in sizes:
+                        priors.append([(j + 0.5) * step / in_w,
+                                       (i + 0.5) * step / in_h,
+                                       m / in_w, m / in_h])
+        return np.asarray(priors, np.float32)
+
+    @classmethod
+    def decode_boxes(cls, loc: np.ndarray, priors: np.ndarray) -> np.ndarray:
+        """loc [N,4] regression -> [N,4] normalised xyxy."""
+        v0, v1 = cls.VARIANCES
+        cxy = priors[:, :2] + loc[:, :2] * v0 * priors[:, 2:]
+        wh = priors[:, 2:] * np.exp(loc[:, 2:] * v1)
+        return np.concatenate([cxy - wh / 2.0, cxy + wh / 2.0], axis=1)
+
+    def __call__(self, image_rgb: np.ndarray, det_thresh: float = 0.97):
+        """-> boxes [N, 5] (xyxy + score) in image coordinates."""
+        h0, w0 = image_rgb.shape[:2]
+        in_h, in_w = self.input_size
+        ratio = min(in_h / h0, in_w / w0)
+        nh, nw = int(h0 * ratio), int(w0 * ratio)
+        resized = cv2.resize(image_rgb, (nw, nh))
+        canvas = np.zeros((in_h, in_w, 3), np.float32)
+        canvas[:nh, :nw] = resized[..., ::-1]  # RGB -> BGR
+        blob = (canvas - np.array([104.0, 117.0, 123.0], np.float32))
+        blob = blob.transpose(2, 0, 1)
+
+        outs = [np.asarray(o) for o in self._fn(blob[None])]
+        # outputs (biubug6 export order): loc [1,N,4], conf [1,N,2],
+        # landms [1,N,10] — identify loc/conf by trailing dim for robustness
+        by_dim = {o.shape[-1]: o[0] for o in outs}
+        loc, conf = by_dim[4], by_dim[2]
+        scores = conf[:, 1]
+        keep = scores > det_thresh
+        if not keep.any():
+            return np.zeros((0, 5), np.float32)
+        boxes = self.decode_boxes(loc[keep], self._priors[keep])
+        boxes *= np.array([in_w, in_h, in_w, in_h], np.float32)
+        boxes /= ratio
+        scores = scores[keep]
+        order = scores.argsort()[::-1]
+        boxes, scores = boxes[order], scores[order]
+
+        from stableanimator_tpu.preproc.detection import nms_single_class
+
+        kept = nms_single_class(boxes, scores, self.nms_thresh)
+        return np.concatenate([boxes[kept], scores[kept, None]],
+                              axis=1).astype(np.float32)
+
+
+def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector],
+              fallback_detector=None,
+              fallback_thresh: float = 0.97) -> np.ndarray:
+    """Binary face mask with the reference's full three-tier chain
+    (face_mask_extraction.py:10-38): primary detector boxes -> RetinaFace
+    fallback at threshold 0.97 -> all-255."""
     h, w = image_rgb.shape[:2]
     mask = np.zeros((h, w), np.uint8)
     dets = (detector(image_rgb)[0] if detector is not None
             else np.zeros((0, 5), np.float32))
+    if len(dets) == 0 and fallback_detector is not None:
+        dets = fallback_detector(image_rgb, fallback_thresh)
     if len(dets) == 0:
         mask[:] = 255
         return mask
@@ -244,6 +333,10 @@ class LandmarkModel:
         inv = _invert_affine(mat)
         pts = np.concatenate([pred[:, :2], np.ones((pred.shape[0], 1))], 1)
         pred[:, :2] = pts @ inv.T
+        if self.lmk_dim == 3:
+            # insightface trans_points3d also scales z back to image space
+            # by the inverse transform's scale factor
+            pred[:, 2] *= float(np.sqrt(inv[0, 0] ** 2 + inv[0, 1] ** 2))
         return pred
 
 
