@@ -1,10 +1,10 @@
 """ctypes bindings for the first-party C++ raster kernels (native/raster.cpp).
 
-Drop-in primitives for skeleton rendering: rotated-ellipse fill, filled
-circle, thick line, canvas dim — the operations the reference delegates to
-OpenCV's C++ (DWPose/skeleton_extraction.py:16-100). Auto-builds the shared
-library on first use if a toolchain is available; callers fall back to cv2
-when it is not.
+Byte-exact re-implementations of the OpenCV drawing primitives the reference
+uses for skeleton rendering (DWPose/skeleton_extraction.py:16-100):
+ellipse2Poly+fillConvexPoly, filled circle, thick line (LINE_8, shift 0).
+Auto-builds the shared library on first use if a toolchain is available;
+callers fall back to cv2 when it is not.
 """
 
 from __future__ import annotations
@@ -42,18 +42,13 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    f64p = ctypes.POINTER(ctypes.c_double)
-    lib.fill_rotated_ellipse.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, f64p]
-    lib.fill_circle.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, f64p]
-    lib.draw_line.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, f64p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ci = ctypes.c_int
+    lib.cv_fill_ellipse.argtypes = [u8p, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+                                    u8p]
+    lib.cv_fill_convex_poly.argtypes = [u8p, ci, ci, ci, i64p, ci, u8p]
+    lib.cv_fill_circle.argtypes = [u8p, ci, ci, ci, ci, ci, ci, u8p]
+    lib.cv_thick_line.argtypes = [u8p, ci, ci, ci, ci, ci, ci, ci, ci, u8p]
     lib.scale_canvas.argtypes = [u8p, ctypes.c_int64, ctypes.c_double]
     _lib = lib
     return _lib
@@ -70,25 +65,40 @@ def _canvas_args(canvas: np.ndarray):
             int(h), int(w), int(c))
 
 
-def _color(color: Sequence[float]) -> ctypes.POINTER(ctypes.c_double):
-    arr = (ctypes.c_double * len(color))(*[float(v) for v in color])
-    return ctypes.cast(arr, ctypes.POINTER(ctypes.c_double))
+def _color(color: Sequence[float], channels: int = 3):
+    """OpenCV scalar -> uint8 raw color: saturate_cast (round-half-even,
+    clamp) per channel."""
+    vals = [int(np.clip(np.rint(float(v)), 0, 255)) for v in color]
+    while len(vals) < channels:
+        vals.append(0)
+    arr = (ctypes.c_uint8 * channels)(*vals[:channels])
+    return ctypes.cast(arr, ctypes.POINTER(ctypes.c_uint8))
 
 
-def fill_rotated_ellipse(canvas, cx, cy, a, b, angle_deg, color):
-    load().fill_rotated_ellipse(*_canvas_args(canvas), float(cx), float(cy),
-                                float(a), float(b), float(angle_deg),
-                                _color(color))
+def fill_ellipse(canvas, center, axes, angle, color, delta: int = 1):
+    """cv2.ellipse2Poly(center, axes, angle, 0, 360, delta) +
+    cv2.fillConvexPoly, byte-exact."""
+    load().cv_fill_ellipse(*_canvas_args(canvas), int(center[0]),
+                           int(center[1]), int(axes[0]), int(axes[1]),
+                           int(angle), int(delta), _color(color))
+
+
+def fill_convex_poly(canvas, pts, color):
+    pts = np.ascontiguousarray(np.asarray(pts, np.int64).reshape(-1, 2))
+    load().cv_fill_convex_poly(
+        *_canvas_args(canvas),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(len(pts)), _color(color))
 
 
 def fill_circle(canvas, cx, cy, radius, color):
-    load().fill_circle(*_canvas_args(canvas), int(cx), int(cy), int(radius),
-                       _color(color))
+    load().cv_fill_circle(*_canvas_args(canvas), int(cx), int(cy),
+                          int(radius), _color(color))
 
 
 def draw_line(canvas, x0, y0, x1, y1, thickness, color):
-    load().draw_line(*_canvas_args(canvas), int(x0), int(y0), int(x1),
-                     int(y1), int(thickness), _color(color))
+    load().cv_thick_line(*_canvas_args(canvas), int(x0), int(y0), int(x1),
+                         int(y1), int(thickness), _color(color))
 
 
 def scale_canvas(canvas, factor: float):

@@ -127,9 +127,9 @@ def _draw_bodypose_native(canvas, candidate, subset, score):
             mx, my = np.mean(x), np.mean(y)
             length = ((x[0] - x[1]) ** 2 + (y[0] - y[1]) ** 2) ** 0.5
             angle = math.degrees(math.atan2(x[0] - x[1], y[0] - y[1]))
-            nr.fill_rotated_ellipse(canvas, int(my), int(mx), int(length / 2), 4,
-                                    int(angle), _blend(BODY_COLORS[i],
-                                                       conf[0] * conf[1]))
+            nr.fill_ellipse(canvas, (int(my), int(mx)), (int(length / 2), 4),
+                            int(angle), _blend(BODY_COLORS[i],
+                                               conf[0] * conf[1]))
     nr.scale_canvas(canvas, 0.6)
     for i in range(18):
         for n in range(len(subset)):
@@ -177,12 +177,19 @@ def _draw_facepose_native(canvas, all_lmks, all_scores):
 
 
 def draw_pose(pose: Dict, height: int, width: int, ref_w: int = 2160,
-              backend: str = "cv2") -> np.ndarray:
+              backend: str = "native") -> np.ndarray:
     """Render a pose dict to an RGB CHW uint8 image (reference :102-135).
 
-    backend "cv2" reproduces the reference's OpenCV rasterisation exactly;
-    "native" uses the first-party C++ kernels (native/raster.cpp,
-    pixel-coverage IoU vs cv2 >= 0.94)."""
+    backend "native" (default) rasterises with the first-party C++ kernels
+    (native/raster.cpp) — byte-identical to the reference's OpenCV drawing
+    (see raster.cpp header for the one cv2-5.0 thick-line edge caveat) —
+    and falls back to cv2 if the shared library cannot be built. backend
+    "cv2" forces the OpenCV path (kept as the test oracle)."""
+    if backend == "native":
+        from stableanimator_tpu.preproc import native_raster as nr
+
+        if not nr.available():
+            backend = "cv2"
     bodies = pose["bodies"]
     sz = min(height, width)
     sr = (ref_w / sz) if sz != ref_w else 1

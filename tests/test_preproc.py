@@ -228,34 +228,182 @@ class TestDetectors:
         mask = face_mask(img, None)
         assert (mask == 255).all()
 
+    def test_face_mask_three_tiers(self):
+        """Reference chain (face_mask_extraction.py:10-38): primary detector
+        -> RetinaFace fallback at thr 0.97 -> all-white."""
+        img = np.zeros((32, 32, 3), np.uint8)
+
+        class NoFace:
+            def __call__(self, image):
+                return np.zeros((0, 5), np.float32), np.zeros((0, 5, 2),
+                                                              np.float32)
+
+        calls = []
+
+        def fallback(image, thr):
+            calls.append(thr)
+            return np.array([[4.0, 4.0, 12.0, 12.0, 0.99]], np.float32)
+
+        mask = face_mask(img, NoFace(), fallback_detector=fallback)
+        assert calls == [0.97]
+        assert mask[8, 8] == 255 and mask[0, 0] == 0  # box, not all-white
+        assert (mask == 255).sum() == 9 * 9  # inclusive-rect fill
+
+        # tier 3: both detectors miss -> all-white
+        mask = face_mask(img, NoFace(),
+                         fallback_detector=lambda im, thr: np.zeros(
+                             (0, 5), np.float32))
+        assert (mask == 255).all()
+
+        # tier 1 hit: fallback must NOT be consulted
+        class OneFace:
+            def __call__(self, image):
+                return (np.array([[1.0, 1.0, 5.0, 5.0, 0.9]], np.float32),
+                        np.zeros((1, 5, 2), np.float32))
+
+        calls.clear()
+        mask = face_mask(img, OneFace(), fallback_detector=fallback)
+        assert calls == [] and mask[2, 2] == 255
+
+
+class TestRetinaFaceDecode:
+    def test_priors_and_decode(self):
+        from stableanimator_tpu.preproc.face import RetinaFaceDetector as R
+
+        priors = R._make_priors(64, 64)
+        # 64/8=8 -> 8*8*2 + 4*4*2 + 2*2*2 anchors
+        assert priors.shape == (128 + 32 + 8, 4)
+        # first anchor: cell (0,0), min_size 16 at stride 8
+        np.testing.assert_allclose(priors[0],
+                                   [0.5 * 8 / 64, 0.5 * 8 / 64,
+                                    16 / 64, 16 / 64])
+        # zero regression decodes to the prior box itself (cxcywh -> xyxy)
+        boxes = R.decode_boxes(np.zeros((len(priors), 4), np.float32), priors)
+        np.testing.assert_allclose(
+            boxes[0], [priors[0, 0] - priors[0, 2] / 2,
+                       priors[0, 1] - priors[0, 3] / 2,
+                       priors[0, 0] + priors[0, 2] / 2,
+                       priors[0, 1] + priors[0, 3] / 2], rtol=1e-6)
+        # variance semantics: dx shifts center by v0*dx*prior_w
+        loc = np.zeros((len(priors), 4), np.float32)
+        loc[0, 0] = 1.0
+        shifted = R.decode_boxes(loc, priors)
+        np.testing.assert_allclose(
+            shifted[0, 0] - boxes[0, 0], 0.1 * priors[0, 2], rtol=1e-5)
+
+    def test_end_to_end_with_standin_network(self):
+        """Full __call__ path against a stub network emitting one confident
+        detection at a known prior."""
+        from stableanimator_tpu.preproc.face import RetinaFaceDetector as R
+
+        det = R.__new__(R)
+        det.input_size = (64, 64)
+        det.nms_thresh = 0.4
+        det._priors = R._make_priors(64, 64)
+        n = len(det._priors)
+
+        def fake_fn(blob):
+            loc = np.zeros((1, n, 4), np.float32)
+            conf = np.zeros((1, n, 2), np.float32)
+            conf[:, :, 0] = 1.0
+            conf[0, 5, 1] = 0.99  # one hit
+            landms = np.zeros((1, n, 10), np.float32)
+            return [loc, conf, landms]
+
+        det._fn = fake_fn
+        img = np.zeros((64, 64, 3), np.uint8)
+        out = det(img, det_thresh=0.97)
+        assert out.shape == (1, 5)
+        p = det._priors[5]
+        np.testing.assert_allclose(
+            out[0, :4],
+            np.array([p[0] - p[2] / 2, p[1] - p[3] / 2,
+                      p[0] + p[2] / 2, p[1] + p[3] / 2]) * 64, rtol=1e-5)
+        assert det(img, det_thresh=0.999).shape == (0, 5)
+
 
 class TestNativeRaster:
-    def test_native_matches_cv2_primitives(self):
-        import cv2
+    """Byte-exactness of the first-party C++ raster (native/raster.cpp) vs
+    OpenCV on the primitives the reference render path uses
+    (skeleton_extraction.py:16-100). The classic-vs-cv2-5.0 thick-line
+    caveat (raster.cpp header) only affects strokes whose quad crosses the
+    canvas border, so thick-line fuzzing keeps endpoints thickness+2 px
+    inside — exactly the regime draw_pose operates in."""
+
+    def _skip_unless_built(self):
         from stableanimator_tpu.preproc import native_raster as nr
 
         if not nr.available():
             pytest.skip("native raster not built (no toolchain)")
-        c1 = np.zeros((96, 96, 3), np.uint8)
-        c2 = c1.copy()
-        poly = cv2.ellipse2Poly((48, 46), (15, 4), 25, 0, 360, 1)
-        cv2.fillConvexPoly(c1, poly, (200, 100, 50))
-        nr.fill_rotated_ellipse(c2, 48, 46, 15, 4, 25, (200, 100, 50))
-        m1, m2 = (c1 > 0).any(-1), (c2 > 0).any(-1)
-        assert (m1 & m2).sum() / (m1 | m2).sum() > 0.9
+        return nr
 
-    def test_native_draw_pose_close_to_cv2(self):
-        from stableanimator_tpu.preproc import native_raster as nr
+    def test_ellipse_byte_exact(self):
+        import cv2
+        nr = self._skip_unless_built()
+        rng = np.random.default_rng(0)
+        for _ in range(60):
+            base = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+            c1, c2 = base.copy(), base.copy()
+            cx, cy = int(rng.integers(-10, 110)), int(rng.integers(-10, 90))
+            a, b = int(rng.integers(0, 40)), int(rng.integers(0, 12))
+            ang = int(rng.integers(-360, 360))
+            color = tuple(int(v) for v in rng.integers(0, 256, 3))
+            poly = cv2.ellipse2Poly((cx, cy), (a, b), ang, 0, 360, 1)
+            cv2.fillConvexPoly(c1, poly, color)
+            nr.fill_ellipse(c2, (cx, cy), (a, b), ang, color)
+            np.testing.assert_array_equal(c1, c2)
 
-        if not nr.available():
-            pytest.skip("native raster not built")
+    def test_circle_and_poly_byte_exact(self):
+        import cv2
+        nr = self._skip_unless_built()
+        rng = np.random.default_rng(1)
+        for _ in range(60):
+            base = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+            c1, c2 = base.copy(), base.copy()
+            color = tuple(int(v) for v in rng.integers(0, 256, 3))
+            cx, cy, r = (int(rng.integers(-5, 105)), int(rng.integers(-5, 85)),
+                         int(rng.integers(0, 10)))
+            cv2.circle(c1, (cx, cy), r, color, thickness=-1)
+            nr.fill_circle(c2, cx, cy, r, color)
+            np.testing.assert_array_equal(c1, c2)
+            pts = rng.integers(-10, 110, (4, 2))
+            hull = cv2.convexHull(pts.astype(np.int32)).reshape(-1, 2)
+            cv2.fillConvexPoly(c1, hull, color)
+            nr.fill_convex_poly(c2, hull.astype(np.int64), color)
+            np.testing.assert_array_equal(c1, c2)
+
+    def test_thick_line_byte_exact_interior(self):
+        import cv2
+        nr = self._skip_unless_built()
+        rng = np.random.default_rng(2)
+        for _ in range(120):
+            base = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+            c1, c2 = base.copy(), base.copy()
+            color = tuple(int(v) for v in rng.integers(0, 256, 3))
+            t = int(rng.integers(2, 6))
+            m = t + 2
+            x0, y0 = int(rng.integers(m, 100 - m)), int(rng.integers(m, 80 - m))
+            x1, y1 = int(rng.integers(m, 100 - m)), int(rng.integers(m, 80 - m))
+            cv2.line(c1, (x0, y0), (x1, y1), color, thickness=t)
+            nr.draw_line(c2, x0, y0, x1, y1, t, color)
+            np.testing.assert_array_equal(c1, c2)
+
+    def test_scale_canvas_byte_exact(self):
+        nr = self._skip_unless_built()
+        base = np.random.default_rng(3).integers(
+            0, 255, (64, 64, 3)).astype(np.uint8)
+        want = (base * 0.6).astype(np.uint8)
+        got = base.copy()
+        nr.scale_canvas(got, 0.6)
+        np.testing.assert_array_equal(want, got)
+
+    def test_native_draw_pose_byte_identical_to_cv2(self):
+        self._skip_unless_built()
         pose = TestRendering()._pose()
-        a = draw_pose(pose, 128, 96, backend="cv2")
-        b = draw_pose(pose, 128, 96, backend="native")
-        assert a.shape == b.shape
-        ma, mb = (a > 0).any(0), (b > 0).any(0)
-        iou = (ma & mb).sum() / max((ma | mb).sum(), 1)
-        assert iou > 0.85, f"native/cv2 render IoU {iou:.3f}"
+        for hh, ww in ((128, 96), (512, 512)):
+            a = draw_pose(pose, hh, ww, backend="cv2")
+            b = draw_pose(pose, hh, ww, backend="native")
+            np.testing.assert_array_equal(a, b)
 
 
 class TestExtractorWriteParity:
