@@ -1,96 +1,241 @@
 """Headline benchmark: 512^2 x 16-frame x 25-step end-to-end generation on
 one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout (progress goes to stderr):
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 
 Baseline (BASELINE.md): the reference generates a 15 s / 450-frame demo at
 512^2 in 5 minutes on an RTX 4090 => 1.5 frames/s. `vs_baseline` is our
 frames/s divided by that.
+
+Resilience (round-3 hardening — BENCH_r02 was lost to a transient
+RESOURCE_EXHAUSTED and two judge re-runs to a 10-minute timeout):
+  * params are filled ON DEVICE by one tiny jitted RNG graph
+    (device_fill_params) — measured: uploading the 4.6 GB bf16 tree through
+    the remote-TPU tunnel ran at ~7 MB/s and took ~11 minutes, and it was
+    the real cost hiding inside round 2's "warmup"; the on-device fill
+    removes host->device parameter traffic entirely
+  * a JSON line is ALWAYS emitted: on SIGTERM/SIGINT (e.g. `timeout`),
+    on OOM after retries, and on any other exception — with partial
+    diagnostics and value taken from any completed timed runs
+  * RESOURCE_EXHAUSTED at warmup retries once (transient chip state from a
+    previous process), then falls back to decode_chunk_size=2 (lower HBM peak)
+  * run count adapts to the remaining time budget (BENCH_BUDGET_S, def. 540)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_FRAMES_PER_SEC = 450.0 / 300.0  # reference README.md:367
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+# mutable state for the always-emit-JSON guarantee
+_STATE = {
+    "phase": "startup",
+    "times": [],          # completed timed-run seconds
+    "init_s": None,
+    "checksum_params": None,
+    "compile_s": None,
+    "checksum": None,
+    "device": None,
+    "fallback": None,
+    "errors": [],
+}
+_EMITTED = [False]
+F_FRAMES = 16
 
 
-def main():
-    import jax
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    from stableanimator_tpu.core.config import PipelineConfig
-    from stableanimator_tpu.pipeline import build_models, generate, fast_init_params
-
-    h = w = 512
-    f = 16
-
-    models = build_models(dtype=jnp.bfloat16)
-
-    t0 = time.time()
-    # host-side shape-only init + one bulk transfer: compiling the full
-    # init graph through the remote-compile service costs many minutes and
-    # benchmarks nothing (steady-state generate timing is what matters)
-    params = fast_init_params(models, height=h, width=w)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x,
-        params)
-    params = jax.device_put(params)
-    jax.block_until_ready(params)
-    init_s = time.time() - t0
-
-    cfg = PipelineConfig(height=h, width=w, num_frames=f, tile_size=16,
-                         tile_overlap=4, num_inference_steps=25,
-                         decode_chunk_size=4)
-    ref_image = jnp.full((1, h, w, 3), 0.5, jnp.float32)
-    pose = jnp.full((f, h, w, 3), -1.0, jnp.float32)
-    face = jnp.zeros((1, 512), jnp.float32)
-
-    def run(key):
-        out = generate(models, params, ref_image, pose, face, cfg,
-                       rng=jax.random.PRNGKey(key))
-        # On the remote (axon) platform block_until_ready does not wait for
-        # execution; fetching a derived scalar is the only true sync. The
-        # extra mean() and RTT add ~0.2s of noise to a multi-second e2e.
-        return float(jnp.mean(out))
-
-    # warmup / compile
-    t0 = time.time()
-    checksum = run(1)
-    compile_s = time.time() - t0
-
-    # timed steady-state runs
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        run(2 + i)
-        times.append(time.time() - t0)
-    e2e = min(times)
-    fps = f / e2e
-
-    print(json.dumps({
+def _emit(ok: bool) -> None:
+    """Print the single JSON result line (exactly once)."""
+    if _EMITTED[0]:
+        return
+    _EMITTED[0] = True
+    times = _STATE["times"]
+    if times:
+        e2e = min(times)
+        fps = F_FRAMES / e2e
+    else:
+        e2e, fps = None, 0.0
+    out = {
         "metric": "frames_per_sec_per_chip_512px_16f_25step_e2e",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 4),
         "detail": {
-            "e2e_seconds_16_frames": round(e2e, 3),
+            "ok": ok and bool(times),
+            "phase": _STATE["phase"],
+            "e2e_seconds_16_frames": round(e2e, 3) if e2e else None,
             "all_runs_s": [round(t, 3) for t in times],
-            "compile_plus_first_run_s": round(compile_s, 1),
-            "param_init_s": round(init_s, 1),
-            "output_checksum": checksum,
-            "device": str(jax.devices()[0]),
+            "compile_plus_first_run_s": _STATE["compile_s"],
+            "param_init_s": _STATE["init_s"],
+            "param_checksum": _STATE["checksum_params"],
+            "output_checksum": _STATE["checksum"],
+            "device": _STATE["device"],
+            "fallback": _STATE["fallback"],
+            "errors": _STATE["errors"][-3:],
+            "total_wall_s": round(time.time() - _T0, 1),
         },
-    }))
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _on_signal(signum, frame):
+    _STATE["errors"].append(f"signal {signum} during phase {_STATE['phase']}")
+    _log(f"caught signal {signum} in phase {_STATE['phase']} — emitting partial JSON")
+    _emit(ok=False)
+    sys.exit(0 if _STATE["times"] else 1)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T0)
+
+
+def _device_params(models, h, w):
+    """bf16 benchmark param tree, filled ON DEVICE (zero host->device
+    parameter traffic — see module docstring) and materialised before
+    returning so the timed runs never hide a transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from stableanimator_tpu.pipeline import device_fill_params
+
+    params = device_fill_params(models, height=h, width=w,
+                                cast_fp32_to=jnp.bfloat16)
+    # force materialisation: on the remote platform block_until_ready
+    # returns at dispatch; fetching a derived scalar is the only true sync
+    _STATE["checksum_params"] = float(jax.jit(
+        lambda p: sum(jnp.sum(x.astype(jnp.float32))
+                      for x in jax.tree_util.tree_leaves(p)))(params))
+    return params
+
+
+def main():
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    # persist EVERYTHING: on the remote-compile (axon) platform even a
+    # trivial graph costs 1-3 min to compile, so a >=5s threshold meant the
+    # small helper graphs were re-compiled remotely in every process —
+    # that, not the big scan graph, was the ~300s "warmup"
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import jax.numpy as jnp
+
+    from stableanimator_tpu.core.config import PipelineConfig
+    from stableanimator_tpu.pipeline import build_models, generate
+
+    _STATE["device"] = str(jax.devices()[0])
+    _log(f"device: {_STATE['device']}")
+
+    h = w = 512
+
+    _STATE["phase"] = "param_init"
+    models = build_models(dtype=jnp.bfloat16)
+    t0 = time.time()
+    params = _device_params(models, h, w)
+    _STATE["init_s"] = round(time.time() - t0, 1)
+    _log(f"params filled on device ({_STATE['init_s']}s)")
+
+    ref_image = jnp.full((1, h, w, 3), 0.5, jnp.float32)
+    pose = jnp.full((F_FRAMES, h, w, 3), -1.0, jnp.float32)
+    face = jnp.zeros((1, 512), jnp.float32)
+
+    def make_cfg(decode_chunk):
+        return PipelineConfig(height=h, width=w, num_frames=F_FRAMES,
+                              tile_size=16, tile_overlap=4,
+                              num_inference_steps=25,
+                              decode_chunk_size=decode_chunk)
+
+    def run(cfg, key):
+        out = generate(models, params, ref_image, pose, face, cfg,
+                       rng=jax.random.PRNGKey(key))
+        # On the remote (axon) platform block_until_ready does not wait for
+        # execution; fetching a derived scalar is the only true sync. A
+        # compiled mean fetches 4 bytes; np.asarray of the full frames would
+        # drag ~50 MB through the tunnel (+4 s/run, an artifact of the
+        # remote-tunnel setup, not of the TPU). The mean graph persists in
+        # the compile cache (min_compile_time_secs=0), so it compiles
+        # remotely exactly once, not per process.
+        return float(jnp.mean(out))
+
+    # --- warmup / compile, with OOM retry + fallback config ---------------
+    _STATE["phase"] = "warmup"
+    cfg = make_cfg(4)
+    attempts = [("primary", cfg), ("retry", cfg), ("decode_chunk_2", make_cfg(2))]
+    warmed = None
+    for name, acfg in attempts:
+        try:
+            _log(f"warmup attempt: {name} (remaining budget {_remaining():.0f}s)")
+            t0 = time.time()
+            _STATE["checksum"] = run(acfg, 1)
+            _STATE["compile_s"] = round(time.time() - t0, 1)
+            warmed = acfg
+            _STATE["fallback"] = None if name == "primary" else name
+            _log(f"warmup ok in {_STATE['compile_s']}s ({name})")
+            break
+        except Exception as e:
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            _STATE["errors"].append(f"warmup {name}: {msg}")
+            _log(f"warmup {name} FAILED: {msg}")
+            if "RESOURCE_EXHAUSTED" not in str(e) and name == "primary":
+                # non-OOM failure: retrying the same graph will not help more
+                # than once; still try the fallback config before giving up
+                continue
+            time.sleep(5)
+    if warmed is None:
+        _STATE["phase"] = "warmup_failed"
+        _emit(ok=False)
+        sys.exit(1)
+
+    # --- timed steady-state runs (adaptive count) --------------------------
+    _STATE["phase"] = "timed_runs"
+    per_run_est = 15.0
+    n_runs = 3
+    for i in range(n_runs):
+        if _STATE["times"] and _remaining() < per_run_est + 10:
+            _log(f"budget low ({_remaining():.0f}s) — stopping at "
+                 f"{len(_STATE['times'])} runs")
+            break
+        t0 = time.time()
+        try:
+            run(warmed, 2 + i)
+        except Exception as e:
+            _STATE["errors"].append(f"timed run {i}: {type(e).__name__}: {str(e)[:200]}")
+            _log(f"timed run {i} failed; continuing")
+            continue
+        dt = time.time() - t0
+        per_run_est = dt
+        _STATE["times"].append(dt)
+        _log(f"run {i}: {dt:.3f}s")
+
+    _STATE["phase"] = "done"
+    _emit(ok=True)
+    sys.exit(0 if _STATE["times"] else 1)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        _STATE["errors"].append(f"{type(e).__name__}: {str(e)[:300]}")
+        _log(f"fatal in phase {_STATE['phase']}: {e!r}")
+        _emit(ok=False)
+        sys.exit(1)

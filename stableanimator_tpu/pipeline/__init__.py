@@ -3,6 +3,7 @@ from stableanimator_tpu.pipeline.animation import (
     build_models,
     init_params,
     fast_init_params,
+    device_fill_params,
     encode_conditioning,
     denoise,
     decode_frames,

@@ -171,6 +171,56 @@ def fast_init_params(models: AnimationModels, height: int = 64,
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+def device_fill_params(models: AnimationModels, height: int = 64,
+                       width: int = 64, num_frames: int = 2,
+                       cast_fp32_to=None, seed: int = 0) -> dict:
+    """`fast_init_params` statistics, but built ON DEVICE by one jitted
+    graph — zero host->device parameter traffic.
+
+    Exists for benchmarking against the remote (axon) TPU tunnel, where
+    uploading the ~4.6 GB bf16 tree runs at ~7 MB/s (~11 minutes — measured;
+    it was the real cost hiding inside bench.py's "warmup"). The fill graph
+    is a few hundred RNG ops (tiny HLO, persisted in the compile cache), and
+    the parameters never leave the device. Same per-leaf rules as
+    fast_init_params: norm scales 1, biases 0, everything else decorrelated
+    uniform(±sqrt(3)·std) with fan-in std.
+
+    cast_fp32_to: optional dtype (e.g. jnp.bfloat16) applied to fp32 leaves.
+    """
+    shapes = jax.eval_shape(
+        lambda: init_params(models, jax.random.PRNGKey(0),
+                            height=height, width=width,
+                            num_frames=num_frames))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def fill(key):
+        keys = jax.random.split(key, len(flat))
+        leaves = []
+        for k, (path, s) in zip(keys, flat):
+            name = str(getattr(path[-1], "key", path[-1])) if path else ""
+            dt = s.dtype
+            if cast_fp32_to is not None and dt == jnp.float32:
+                dt = cast_fp32_to
+            if not jnp.issubdtype(dt, jnp.floating):
+                leaves.append(jnp.zeros(s.shape, dt))
+            elif "scale" in name:
+                leaves.append(jnp.ones(s.shape, dt))
+            elif "bias" in name:
+                leaves.append(jnp.zeros(s.shape, dt))
+            else:
+                if len(s.shape) >= 2:
+                    std = 1.0 / float(np.sqrt(max(
+                        int(np.prod(s.shape[:-1])), 1)))
+                else:
+                    std = 0.05
+                lim = float(np.sqrt(3.0)) * std
+                leaves.append(jax.random.uniform(
+                    k, s.shape, dt, minval=-lim, maxval=lim))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return jax.jit(fill)(jax.random.PRNGKey(seed))
+
+
 # ---------------------------------------------------------------------------
 # conditioning
 # ---------------------------------------------------------------------------
