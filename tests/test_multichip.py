@@ -49,3 +49,112 @@ def test_sharded_generate_matches_single_device():
     # O(0.1+) on many elements)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=1e-3, atol=1e-3)
+
+
+class TestProConfigLowering:
+    """Shape-real SPMD compile checks (VERDICT round-2 item #6): the micro
+    test above runs at 64^2 where a wrong halo/collective spec could hide;
+    these compile (not run) the REAL pro-config shapes on the virtual
+    8-device mesh and assert GSPMD inserted the expected collectives.
+    Compile-once: results persist in the test compile cache."""
+
+    @staticmethod
+    def _abstract(tree, sharding):
+        return jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding),
+            tree)
+
+    def test_pro_generate_576x1024_compiles_with_collectives(self):
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stableanimator_tpu.pipeline.animation import (
+            _generate_impl,
+            init_params,
+        )
+
+        models = build_models(dtype=jnp.bfloat16)  # FULL-size model zoo
+        h, w, f = 576, 1024, 16
+        cfg = PipelineConfig(height=h, width=w, num_frames=f, tile_size=16,
+                             tile_overlap=4, num_inference_steps=2,
+                             decode_chunk_size=4)
+        mesh = make_mesh(data=2, frame=4)
+        rep = NamedSharding(mesh, P())
+        shapes = jax.eval_shape(lambda: init_params(
+            models, jax.random.PRNGKey(0), height=h, width=w, num_frames=2))
+        params = self._abstract(
+            jax.tree_util.tree_map(
+                lambda s: jax.ShapeDtypeStruct(
+                    s.shape,
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+                shapes), rep)
+        fn = jax.jit(functools.partial(_generate_impl, models, face_opt=None,
+                                       mesh=mesh, clip_image=None),
+                     static_argnums=(4,))
+        compiled = fn.lower(
+            params,
+            jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32, sharding=rep),
+            jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32, sharding=rep),
+            jax.ShapeDtypeStruct((1, 512), jnp.float32, sharding=rep),
+            cfg,
+            jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep),
+        ).compile()
+        txt = compiled.as_text()
+        # frame-axis halos through the (3,1,1) temporal convs / temporal
+        # attention -> collective-permute or all-gather; CFG/data sharding
+        # -> all-reduce in the norms' stats
+        assert txt.count("collective-permute") > 0, "no frame-halo exchanges"
+        assert txt.count("all-gather") > 0
+        assert txt.count("all-reduce") > 0
+        # measured on jax 0.8: 447 collective-permutes, 115 all-gathers,
+        # 392 all-reduces, 52 all-to-alls; compile ~53 s (cached afterwards)
+
+    def test_full_size_train_step_compiles_with_grad_allreduce(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stableanimator_tpu.core.config import TrainConfig
+        from stableanimator_tpu.pipeline.animation import init_params
+        from stableanimator_tpu.train.train_step import (
+            make_optimizer,
+            make_train_step,
+        )
+
+        models = build_models(dtype=jnp.bfloat16)
+        h, w, f, b = 512, 512, 16, 8  # command_train.sh rec bucket, dp=8
+        mesh = make_mesh(data=8, frame=1)
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        tcfg = TrainConfig()
+        pipe = PipelineConfig(height=h, width=w, num_frames=f)
+        pshapes = jax.eval_shape(lambda: init_params(
+            models, jax.random.PRNGKey(0), height=h, width=w, num_frames=2))
+
+        from stableanimator_tpu.train.train_step import create_train_state
+
+        state_shapes = jax.eval_shape(lambda: create_train_state(
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                   pshapes), tcfg)[0])
+        state = self._abstract(state_shapes, rep)
+        batch = {
+            "frames": jax.ShapeDtypeStruct((b, f, h, w, 3), jnp.float32,
+                                           sharding=data),
+            "ref_image": jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32,
+                                              sharding=data),
+            "face_embed": jax.ShapeDtypeStruct((b, 512), jnp.float32,
+                                               sharding=data),
+            "pose_pixels": jax.ShapeDtypeStruct((b, f, h, w, 3), jnp.float32,
+                                                sharding=data),
+            "face_mask": jax.ShapeDtypeStruct((b, f, h, w), jnp.float32,
+                                              sharding=data),
+        }
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+        step = make_train_step(models, make_optimizer(tcfg), tcfg, pipe,
+                               donate=False)
+        compiled = step.lower(state, batch, rng).compile()
+        txt = compiled.as_text()
+        # data-parallel gradients reduce over the mesh (the TPU-native
+        # replacement for the reference's accelerate/NCCL DDP, SURVEY §2.2)
+        assert txt.count("all-reduce") > 0, "no gradient all-reduce emitted"
+        # measured on jax 0.8: 1613 all-reduces; compile ~7 min first time
+        # (persisted in the compile cache afterwards)

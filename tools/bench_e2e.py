@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""North-star end-to-end benchmark: pose extraction through VAE decode to an
+mp4, one command, on the real chip (BASELINE.json: 576x1024 x 16f x 25-step
+< 60 s; VERDICT round-2 item #3).
+
+Pipeline measured (the reference's full offline+online path):
+  1. DWPose skeleton extraction, batched clip path (YOLOX det + RTMPose per
+     frame -> one XLA call per network; reference loops serially,
+     DWPose/dwpose_utils/onnxpose.py:353-359) + reference-shape alignment +
+     native-raster render    -> poses/s
+  2. ArcFace identity embedding of the reference image (SCRFD det +
+     glintr100; reference inference_basic.py:516-535)
+  3. 25-step tiled CFG denoise + chunked temporal-VAE decode (one jitted
+     program)
+  4. mp4 export (reference inference_basic.py:56-64)
+
+With --dwpose_dir / --checkpoint_dir pointing at real ONNX / .npz weights it
+benches the real graphs; missing pieces fall back to torch-exported
+stand-ins (pose nets; same interface, smaller conv stacks — reported in the
+JSON so the number is never silently mislabelled) / zero face embedding /
+random diffusion weights.
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds_per_video", "value": ..., "detail": {...}}
+
+  python tools/bench_e2e.py                      # 512^2 x 16f
+  python tools/bench_e2e.py --height 576 --width 1024   # pro config
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--tile_size", type=int, default=16)
+    ap.add_argument("--tile_overlap", type=int, default=4)
+    ap.add_argument("--decode_chunk_size", type=int, default=4)
+    ap.add_argument("--dwpose_dir", type=str, default="checkpoints/DWPose",
+                    help="dir with yolox_l.onnx + dw-ll_ucoco_384.onnx "
+                         "(stand-ins if missing)")
+    ap.add_argument("--checkpoint_dir", type=str, default="checkpoints",
+                    help="dir with converted .npz model weights + "
+                         "antelopev2/ (random init / zero face if missing)")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="timed e2e repetitions after the compile run")
+    return ap.parse_args()
+
+
+def _log(msg):
+    print(f"[bench_e2e] {msg}", file=sys.stderr, flush=True)
+
+
+def _pose_models(args, td):
+    """Real DWPose ONNX if present, else torch stand-ins (shared with
+    tools/bench_preproc.py)."""
+    det = os.path.join(args.dwpose_dir, "yolox_l.onnx")
+    pose = os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx")
+    if os.path.exists(det) and os.path.exists(pose):
+        return det, pose, True
+    from tools.bench_preproc import _standin_paths
+
+    det, pose = _standin_paths(td)
+    return det, pose, False
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from stableanimator_tpu.core.config import PipelineConfig
+    from stableanimator_tpu.pipeline import build_models, generate
+    from stableanimator_tpu.preproc.skeleton_extraction import (
+        get_image_pose,
+        get_video_pose_frames,
+    )
+    from stableanimator_tpu.preproc.wholebody import WholebodyDetector
+    from stableanimator_tpu.utils.image import export_to_mp4, frames_to_uint8
+
+    detail = {"height": args.height, "width": args.width,
+              "frames": args.frames, "steps": args.steps,
+              "device": str(jax.devices()[0])}
+
+    rng = np.random.default_rng(0)
+    td = tempfile.mkdtemp(prefix="bench_e2e_")
+
+    # inputs: a synthetic driving clip + reference image (pixel content does
+    # not change the compute graph shape, which is what the bench measures)
+    driving = [rng.integers(0, 255, (args.height, args.width, 3),
+                            dtype=np.uint8) for _ in range(args.frames)]
+    reference = rng.integers(0, 255, (args.height, args.width, 3),
+                             dtype=np.uint8)
+
+    det_path, pose_path, real_dwpose = _pose_models(args, td)
+    detail["real_dwpose_weights"] = real_dwpose
+    wb = WholebodyDetector(det_path, pose_path)
+    if not real_dwpose:
+        wb.detector.input_size = (64, 64)
+        wb.pose.input_size = (48, 64)
+
+    # diffusion weights: converted .npz if present, else on-device random fill
+    models = build_models(dtype=jnp.bfloat16)
+    have_ckpts = os.path.exists(os.path.join(args.checkpoint_dir, "unet.npz"))
+    detail["real_diffusion_weights"] = have_ckpts
+    t0 = time.time()
+    if have_ckpts:
+        from stableanimator_tpu.cli.animate import load_params
+
+        params = load_params(args.checkpoint_dir, models, False, False,
+                             args.height, args.width)
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).astype(jnp.bfloat16)
+            if np.asarray(x).dtype == np.float32 else np.asarray(x), params)
+    else:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "sa_bench", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        # import for _device_params only; keep its signal handlers inert
+        bench.__name__ = "sa_bench"
+        spec.loader.exec_module(bench)
+        params = bench._device_params(models, args.height, args.width)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    detail["param_load_s"] = round(time.time() - t0, 1)
+    _log(f"params ready in {detail['param_load_s']}s")
+
+    # face embedding setup (real antelopev2 if present)
+    det_onnx = os.path.join(args.checkpoint_dir, "antelopev2",
+                            "scrfd_10g_bnkps.onnx")
+    rec_onnx = os.path.join(args.checkpoint_dir, "antelopev2",
+                            "glintr100.onnx")
+    face_model = None
+    if os.path.exists(det_onnx) and os.path.exists(rec_onnx):
+        from stableanimator_tpu.preproc.face import FaceModel
+
+        face_model = FaceModel(det_onnx, rec_onnx)
+    detail["real_face_weights"] = face_model is not None
+
+    cfg = PipelineConfig(
+        height=args.height, width=args.width, num_frames=args.frames,
+        tile_size=args.tile_size, tile_overlap=args.tile_overlap,
+        num_inference_steps=args.steps,
+        decode_chunk_size=args.decode_chunk_size)
+
+    def one_pass(seed):
+        """Full pipeline; returns (pose_s, face_s, generate_s, export_s)."""
+        t = time.time()
+        ref_pose = get_image_pose(wb, reference)
+        pose_maps = get_video_pose_frames(wb, driving, reference)
+        pose_arr = (np.stack([ref_pose] + list(pose_maps))[:args.frames]
+                    .astype(np.float32) / 127.5 - 1.0)
+        pose_arr = np.transpose(pose_arr, (0, 2, 3, 1))
+        pose_s = time.time() - t
+
+        t = time.time()
+        if face_model is not None:
+            emb = face_model.get_id_embedding(reference[..., ::-1])
+            emb = np.zeros((512,), np.float32) if emb is None else emb
+        else:
+            emb = np.zeros((512,), np.float32)
+        face_s = time.time() - t
+
+        t = time.time()
+        out = generate(
+            models, params,
+            jnp.asarray(reference[None].astype(np.float32) / 255.0),
+            jnp.asarray(pose_arr), jnp.asarray(emb[None]),
+            cfg, rng=jax.random.PRNGKey(seed))
+        # pure transfer = the only true sync on the remote platform
+        frames_np = np.asarray(out, np.float32)
+        gen_s = time.time() - t
+
+        t = time.time()
+        u8 = frames_to_uint8(frames_np)
+        export_to_mp4(u8, os.path.join(td, "animation_video.mp4"), fps=8)
+        export_s = time.time() - t
+        return pose_s, face_s, gen_s, export_s
+
+    _log("compile pass (uncached graphs compile remotely; minutes)")
+    t0 = time.time()
+    one_pass(0)
+    detail["compile_pass_s"] = round(time.time() - t0, 1)
+    _log(f"compile pass done in {detail['compile_pass_s']}s")
+
+    runs = []
+    for i in range(args.runs):
+        runs.append(one_pass(1 + i))
+        _log(f"run {i}: pose {runs[-1][0]:.2f}s face {runs[-1][1]:.2f}s "
+             f"generate {runs[-1][2]:.2f}s export {runs[-1][3]:.2f}s")
+    best = min(runs, key=sum)
+    pose_s, face_s, gen_s, export_s = best
+    e2e = sum(best)
+
+    detail.update({
+        "pose_extraction_s": round(pose_s, 2),
+        "poses_per_sec": round((args.frames + 1) / pose_s, 1),
+        "face_embed_s": round(face_s, 2),
+        "generate_plus_decode_s": round(gen_s, 2),
+        "generate_frames_per_sec": round(args.frames / gen_s, 3),
+        "mp4_export_s": round(export_s, 2),
+        "all_runs_s": [round(sum(r), 2) for r in runs],
+        "north_star_under_60s": e2e < 60.0,
+    })
+    print(json.dumps({
+        "metric": f"e2e_seconds_per_video_{args.width}x{args.height}x"
+                  f"{args.frames}f_{args.steps}step",
+        "value": round(e2e, 2),
+        "unit": "seconds",
+        "detail": detail,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
