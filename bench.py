@@ -96,8 +96,11 @@ def _on_signal(signum, frame):
     sys.exit(0 if _STATE["times"] else 1)
 
 
-signal.signal(signal.SIGTERM, _on_signal)
-signal.signal(signal.SIGINT, _on_signal)
+def _install_signal_handlers():
+    # called from main(), not at import: tools/bench_e2e.py imports this
+    # module for _device_params and must keep its own signal semantics
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
 
 
 def _remaining() -> float:
@@ -124,6 +127,8 @@ def _device_params(models, h, w):
 
 
 def main():
+    _install_signal_handlers()
+
     import numpy as np
 
     import jax

@@ -92,7 +92,7 @@ def main():
     from stableanimator_tpu.pipeline import build_models, generate
     from stableanimator_tpu.preproc.skeleton_extraction import (
         get_image_pose,
-        get_video_pose_frames,
+        get_video_pose,
     )
     from stableanimator_tpu.preproc.wholebody import WholebodyDetector
     from stableanimator_tpu.utils.image import export_to_mp4, frames_to_uint8
@@ -104,19 +104,30 @@ def main():
     rng = np.random.default_rng(0)
     td = tempfile.mkdtemp(prefix="bench_e2e_")
 
-    # inputs: a synthetic driving clip + reference image (pixel content does
-    # not change the compute graph shape, which is what the bench measures)
-    driving = [rng.integers(0, 255, (args.height, args.width, 3),
-                            dtype=np.uint8) for _ in range(args.frames)]
-    reference = rng.integers(0, 255, (args.height, args.width, 3),
-                             dtype=np.uint8)
-
     det_path, pose_path, real_dwpose = _pose_models(args, td)
+    # inputs: a synthetic driving clip + reference image (pixel content does
+    # not change the compute graph shape, which is what the bench measures).
+    # With stand-in pose networks the frames are ZEROS: random noise makes
+    # the stand-in detector hallucinate ~100 boxes/frame (1600 pose crops —
+    # pathological); zeros yield no detections, so every frame takes the
+    # single full-image fallback crop, matching the one-person-per-frame
+    # workload the real networks see.
+    if real_dwpose:
+        driving = [rng.integers(0, 255, (args.height, args.width, 3),
+                                dtype=np.uint8) for _ in range(args.frames)]
+        reference = rng.integers(0, 255, (args.height, args.width, 3),
+                                 dtype=np.uint8)
+    else:
+        driving = [np.zeros((args.height, args.width, 3), np.uint8)
+                   for _ in range(args.frames)]
+        reference = np.zeros((args.height, args.width, 3), np.uint8)
     detail["real_dwpose_weights"] = real_dwpose
     wb = WholebodyDetector(det_path, pose_path)
     if not real_dwpose:
-        wb.detector.input_size = (64, 64)
-        wb.pose.input_size = (48, 64)
+        # stand-ins: smaller letterbox keeps the batched compile fast; the
+        # RTMPose crop size stays at the real 256x192 (the stand-in ONNX
+        # was exported at that shape)
+        wb.detector.input_size = (320, 320)
 
     # diffusion weights: converted .npz if present, else on-device random fill
     models = build_models(dtype=jnp.bfloat16)
@@ -169,8 +180,19 @@ def main():
         """Full pipeline; returns (pose_s, face_s, generate_s, export_s)."""
         t = time.time()
         ref_pose = get_image_pose(wb, reference)
-        pose_maps = get_video_pose_frames(wb, driving, reference)
-        pose_arr = (np.stack([ref_pose] + list(pose_maps))[:args.frames]
+        try:
+            pose_maps = get_video_pose(wb, driving, reference)
+        except ValueError:
+            # stand-in networks on synthetic frames may detect no 18-joint
+            # bodies to fit the alignment on; render unaligned (the network
+            # work being timed is identical)
+            detail["alignment_skipped_no_bodies"] = True
+            from stableanimator_tpu.preproc.skeleton_render import draw_pose
+
+            detected = wb.video_poses(list(driving))
+            pose_maps = np.stack(
+                [draw_pose(p, args.height, args.width) for p in detected])
+        pose_arr = (np.concatenate([ref_pose[None], pose_maps])[:args.frames]
                     .astype(np.float32) / 127.5 - 1.0)
         pose_arr = np.transpose(pose_arr, (0, 2, 3, 1))
         pose_s = time.time() - t

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Training-step benchmark on the real chip: full-size models, one device,
 512^2 x 16 frames, remat on — the reference trains this config at ~40 GB on
-A100s (README.md:350); remat + bf16 fits it in a v5e's 16 GB.
+A100s (README.md:349-350); remat + bf16 fits the adapter-only finetune
+(pose_net + face_encoder trainable, UNet/VAE frozen) in a v5e's 16 GB.
 
-Reports seconds/step and an estimated tokens... clips/hour/chip.
+Prints ONE JSON line:
+  {"metric": "train_step_seconds", "value": ..., "detail": {...}}
 """
 
 import os
@@ -12,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import json
 import time
 
 import numpy as np
@@ -71,23 +74,42 @@ def main():
         "face_embed": jnp.asarray(rng.normal(size=(b, 512)), jnp.float32),
         "face_mask": jnp.asarray(rng.integers(0, 2, (b, f, h, w, 1)), jnp.float32),
     }
-    key = jax.random.PRNGKey(1)
+    def log(msg):
+        print(f"[bench_train] {msg}", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    state, metrics = step(state, batch, key)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])  # host fetch = true sync
-    print(f"compile+first step: {time.time() - t0:.1f}s, loss={loss:.4f}")
+    compile_s = time.time() - t0
+    log(f"compile+first step: {compile_s:.1f}s, loss={loss:.4f}")
 
     ts = []
-    for _ in range(3):
+    for i in range(3):
+        # vary the PRNG key each run: the remote platform memoizes identical
+        # program+input executions (NOTES_ROUND3 tunnel cost model)
         t0 = time.time()
-        state, metrics = step(state, batch, key)
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
         float(metrics["loss"])
         ts.append(time.time() - t0)
+        log(f"run {i}: {ts[-1]:.2f}s")
     sec = min(ts)
-    print(f"train step ({b}x{f}f @ {h}x{w}, remat, bf16, "
-          f"trainable={args.trainable}): {sec:.2f}s/step "
-          f"-> {3600 / sec * b:.0f} clips/hour/chip")
+
+    detail = {
+        "height": h, "width": w, "frames": f, "batch": b,
+        "trainable": args.trainable, "remat": True, "dtype": "bf16",
+        "device": str(jax.devices()[0]),
+        "compile_plus_first_step_s": round(compile_s, 1),
+        "all_runs_s": [round(t, 2) for t in ts],
+        "clips_per_hour_per_chip": round(3600 / sec * b, 1),
+    }
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        detail["hbm_peak_bytes"] = ms.get("peak_bytes_in_use")
+        detail["hbm_limit_bytes"] = ms.get("bytes_limit")
+    except Exception:
+        pass
+    print(json.dumps({"metric": "train_step_seconds", "value": round(sec, 2),
+                      "unit": "seconds", "detail": detail}), flush=True)
 
 
 if __name__ == "__main__":
