@@ -63,7 +63,10 @@ def main():
     import gc
 
     gc.collect()
-    step = make_train_step(models, tx, cfg, pipe, donate=False)
+    # donate the state: aliasing the 4.9 GB output state onto the argument
+    # buffers is what fits the full-size step in a 16 GB chip (without it
+    # the program needs args 5.0G + out 4.9G + temps 12.5G = 17.5G > HBM)
+    step = make_train_step(models, tx, cfg, pipe, donate=True)
 
     b, f, h, w = args.batch, args.frames, args.height, args.width
     rng = np.random.default_rng(0)
