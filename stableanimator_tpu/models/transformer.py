@@ -32,21 +32,12 @@ from stableanimator_tpu.models.layers import (
     GroupNorm,
     LayerNorm,
     TimestepEmbedding,
+    make_dense,
     sinusoidal_embedding,
 )
 from stableanimator_tpu.ops.attention import dot_product_attention
 
 Dtype = jnp.dtype
-
-
-def _unbiased_std(x, axis, keepdims=True):
-    """torch.std semantics (Bessel correction), fp32."""
-    n = 1
-    for a in axis:
-        n *= x.shape[a]
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.sum(jnp.square(x - mean), axis=axis, keepdims=keepdims) / max(n - 1, 1)
-    return jnp.sqrt(var)
 
 
 class Attention(nn.Module):
@@ -59,6 +50,7 @@ class Attention(nn.Module):
     dim_head: int
     out_dim: int
     use_flash: Optional[bool] = None
+    quant: bool = False
     # (batch, frames): input tokens are [batch*frames, S, C] in the spatial
     # layout and SELF-attention mixes across the frame axis at fixed spatial
     # position (temporal attention) — only q/k/v/out are transposed, the
@@ -124,8 +116,8 @@ class Attention(nn.Module):
         else:
             o = dot_product_attention(q, k, v, use_flash=self.use_flash)
         o = o.reshape(n, sq, inner)
-        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="to_out")(o)
+        return make_dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                          name="to_out", quant=self.quant)(o)
 
 
 class IDCrossAttention(nn.Module):
@@ -141,6 +133,7 @@ class IDCrossAttention(nn.Module):
     dim_head: int
     out_dim: int
     num_id_tokens: int = 4
+    quant: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -173,18 +166,30 @@ class IDCrossAttention(nn.Module):
         base = attend(base_ctx, "to_k", "to_v")
         ident = attend(id_ctx, "id_to_k", "id_to_v")
 
-        # distribution renormalisation (reference unet.py:2018-2022), fp32;
-        # torch.std is unbiased.
-        b32, i32 = base.astype(jnp.float32), ident.astype(jnp.float32)
-        mean_b = jnp.mean(b32, axis=(1, 2), keepdims=True)
-        std_b = _unbiased_std(b32, axis=(1, 2))
-        mean_i = jnp.mean(i32, axis=(1, 2), keepdims=True)
-        std_i = _unbiased_std(i32, axis=(1, 2))
-        ident = ((i32 - mean_i) * (std_b / (std_i + 1e-5)) + mean_b).astype(base.dtype)
+        # distribution renormalisation (reference unet.py:2018-2022), fp32
+        # statistics with torch.std's Bessel correction. Stats are one-pass
+        # fused fp32 reductions and the renorm collapses to a per-sample
+        # affine applied in the compute dtype — no fp32 copy of the [N,S,C]
+        # streams is ever materialised (they are the largest activations in
+        # the spatial block: ~170 MB each at 512^2 level-0).
+        def _stats(t):
+            cnt = t.shape[1] * t.shape[2]
+            mean = jnp.mean(t, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+            mean_sq = jnp.mean(jnp.square(t.astype(jnp.float32)), axis=(1, 2),
+                               keepdims=True)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            var = var * (cnt / max(cnt - 1, 1))
+            return mean, jnp.sqrt(var)
+
+        mean_b, std_b = _stats(base)
+        mean_i, std_i = _stats(ident)
+        k_aff = std_b / (std_i + 1e-5)
+        b_aff = mean_b - mean_i * k_aff
+        ident = ident * k_aff.astype(base.dtype) + b_aff.astype(base.dtype)
 
         o = base + ident
-        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="to_out")(o)
+        return make_dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                          name="to_out", quant=self.quant)(o)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -195,6 +200,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
+    quant: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -202,13 +208,14 @@ class BasicTransformerBlock(nn.Module):
         dim = x.shape[-1]
         h = LayerNorm(name="norm1")(x)
         x = x + Attention(self.heads, self.dim_head, dim, use_flash=self.use_flash,
-                          dtype=self.dtype, name="attn1")(h)
+                          quant=self.quant, dtype=self.dtype, name="attn1")(h)
         h = LayerNorm(name="norm2")(x)
         x = x + IDCrossAttention(self.heads, self.dim_head, dim,
                                  num_id_tokens=self.num_id_tokens,
+                                 quant=self.quant,
                                  dtype=self.dtype, name="attn2")(h, context)
         h = LayerNorm(name="norm3")(x)
-        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(quant=self.quant, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -223,6 +230,7 @@ class TemporalBasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     num_frames: int = 1
+    quant: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -252,22 +260,23 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         residual = h
         h = LayerNorm(name="norm_in")(h)
-        h = FeedForward(dim_out=c, dtype=self.dtype, name="ff_in")(h)
+        h = FeedForward(dim_out=c, quant=self.quant, dtype=self.dtype,
+                        name="ff_in")(h)
         h = h + residual
 
         hn = LayerNorm(name="norm1")(h)
         h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
-                          seq_axis_group=(b, num_frames),
+                          seq_axis_group=(b, num_frames), quant=self.quant,
                           dtype=self.dtype, name="attn1")(hn)
         hn = LayerNorm(name="norm2")(h)
         # cross-attention to the single first-frame CLIP token: context has
         # one key, so this hits the exact softmax==1 shortcut in Attention
         # (to_out(to_v(ctx)) broadcast) — no transpose needed at all
         h = h + Attention(self.heads, self.dim_head, c, use_flash=False,
-                          seq_axis_group=(b, num_frames),
+                          seq_axis_group=(b, num_frames), quant=self.quant,
                           dtype=self.dtype, name="attn2")(hn, time_context)
         hn = LayerNorm(name="norm3")(h)
-        h = h + FeedForward(dtype=self.dtype, name="ff")(hn)
+        h = h + FeedForward(quant=self.quant, dtype=self.dtype, name="ff")(hn)
 
         if mix_alpha is not None:
             a = mix_alpha.astype(h.dtype)
@@ -288,6 +297,7 @@ class TransformerSpatioTemporalModel(nn.Module):
     num_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
+    quant: bool = False
     remat: bool = False
     dtype: Optional[Dtype] = None
 
@@ -314,8 +324,8 @@ class TransformerSpatioTemporalModel(nn.Module):
         residual = x
         h = GroupNorm(num_groups=32, eps=1e-6, name="norm")(x)
         h = h.reshape(n, s, c_in)
-        h = nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="proj_in")(h)
+        h = make_dense(inner, dtype=self.dtype, name="proj_in",
+                       quant=self.quant)(h)
 
         # frame-index positional embedding (reference unet.py:666-677)
         frame_ids = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), (b,))
@@ -335,18 +345,19 @@ class TransformerSpatioTemporalModel(nn.Module):
         for i in range(self.num_layers):
             h = spatial_cls(
                 self.heads, self.dim_head, num_id_tokens=self.num_id_tokens,
-                use_flash=self.use_flash, dtype=self.dtype,
+                use_flash=self.use_flash, quant=self.quant, dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, context)
             # the reference computes (h + emb) before the temporal block
             # (unet.py:686); the add happens inside, post-transpose —
             # identical math, better fusion
             h = temporal_cls(
-                self.heads, self.dim_head, num_frames, dtype=self.dtype,
+                self.heads, self.dim_head, num_frames, quant=self.quant,
+                dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
             )(h, time_context, emb, alpha)
 
-        h = nn.Dense(c_in, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="proj_out")(h)
+        h = make_dense(c_in, dtype=self.dtype, name="proj_out",
+                       quant=self.quant)(h)
         h = h.reshape(n, hh, ww, c_in)
         return h + residual

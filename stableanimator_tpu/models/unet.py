@@ -63,6 +63,7 @@ class CrossAttnDownBlock(nn.Module):
     num_id_tokens: int = 4
     add_downsample: bool = True
     use_flash: Optional[bool] = None
+    quant: bool = False
     remat: bool = False
     dtype: Optional[Dtype] = None
 
@@ -81,7 +82,8 @@ class CrossAttnDownBlock(nn.Module):
                 self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
-                remat=self.remat, dtype=self.dtype, name=f"attentions_{i}",
+                quant=self.quant, remat=self.remat, dtype=self.dtype,
+                name=f"attentions_{i}",
             )(x, context)
             states.append(x)
         if self.add_downsample:
@@ -125,6 +127,7 @@ class MidBlock(nn.Module):
     transformer_layers: int = 1
     num_id_tokens: int = 4
     use_flash: Optional[bool] = None
+    quant: bool = False
     remat: bool = False
     dtype: Optional[Dtype] = None
 
@@ -138,8 +141,8 @@ class MidBlock(nn.Module):
         x = attn_cls(
             self.heads, self.channels // self.heads, num_frames,
             num_layers=self.transformer_layers, num_id_tokens=self.num_id_tokens,
-            use_flash=self.use_flash, remat=self.remat, dtype=self.dtype,
-            name="attentions_0",
+            use_flash=self.use_flash, quant=self.quant, remat=self.remat,
+            dtype=self.dtype, name="attentions_0",
         )(x, context)
         x = res_cls(self.channels, num_frames, eps=1e-5, merge_factor=0.5,
                     dtype=self.dtype, name="resnets_1")(x, temb)
@@ -186,6 +189,7 @@ class CrossAttnUpBlock(nn.Module):
     num_id_tokens: int = 4
     add_upsample: bool = True
     use_flash: Optional[bool] = None
+    quant: bool = False
     remat: bool = False
     dtype: Optional[Dtype] = None
 
@@ -204,7 +208,8 @@ class CrossAttnUpBlock(nn.Module):
                 self.heads, self.out_channels // self.heads, num_frames,
                 num_layers=self.transformer_layers,
                 num_id_tokens=self.num_id_tokens, use_flash=self.use_flash,
-                remat=self.remat, dtype=self.dtype, name=f"attentions_{i}",
+                quant=self.quant, remat=self.remat, dtype=self.dtype,
+                name=f"attentions_{i}",
             )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
@@ -226,6 +231,9 @@ class UNetSpatioTemporal(nn.Module):
 
     config: UNetConfig
     use_flash: Optional[bool] = None
+    # int8-MXU execution of the transformer FF/projection matmuls
+    # (ops/quant.py); opt-in, bf16-checkpoint-compatible
+    quant: bool = False
     remat: bool = False
     dtype: Optional[Dtype] = None
 
@@ -271,7 +279,8 @@ class UNetSpatioTemporal(nn.Module):
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens,
                     add_downsample=i < len(cfg.block_out_channels) - 1,
-                    use_flash=self.use_flash, remat=self.remat,
+                    use_flash=self.use_flash, quant=self.quant,
+                    remat=self.remat,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb, context)
             elif block_type == "DownBlockSpatioTemporal":
@@ -289,7 +298,8 @@ class UNetSpatioTemporal(nn.Module):
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1], f,
             transformer_layers=cfg.transformer_layers_per_block,
             num_id_tokens=cfg.num_id_tokens, use_flash=self.use_flash,
-            remat=self.remat, dtype=self.dtype, name="mid_block")(
+            quant=self.quant, remat=self.remat, dtype=self.dtype,
+            name="mid_block")(
             x, emb, context)
 
         # 5. up path (reversed channel order; reference unet.py:133-168)
@@ -310,7 +320,8 @@ class UNetSpatioTemporal(nn.Module):
                     rev_channels[i], rev_heads[i], f, num_layers=n_up,
                     transformer_layers=cfg.transformer_layers_per_block,
                     num_id_tokens=cfg.num_id_tokens, add_upsample=add_up,
-                    use_flash=self.use_flash, remat=self.remat,
+                    use_flash=self.use_flash, quant=self.quant,
+                    remat=self.remat,
                     dtype=self.dtype, name=f"up_blocks_{i}")(
                     x, block_skips, emb, context)
             else:

@@ -75,11 +75,12 @@ def build_models(
     face_cfg: FaceEncoderConfig | None = None,
     dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
+    quant: bool = False,
     remat: bool = False,
 ) -> AnimationModels:
     return AnimationModels(
         unet=UNetSpatioTemporal(unet_cfg or UNetConfig(), use_flash=use_flash,
-                                remat=remat, dtype=dtype),
+                                quant=quant, remat=remat, dtype=dtype),
         vae=AutoencoderKLTemporalDecoder(vae_cfg or VAEConfig(), dtype=dtype),
         clip=CLIPVisionModelWithProjection(clip_cfg or CLIPVisionConfig(),
                                            dtype=dtype),

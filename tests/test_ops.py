@@ -258,3 +258,99 @@ class TestFlashKernelVariants:
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse2),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestSubpixelUpConv:
+    """Upsample2D's 4-phase decomposition must equal the naive
+    nearest-2x-then-3x3-conv path (layers.py:_SubpixelUpConv)."""
+
+    @pytest.mark.parametrize("h,w,cin,cout", [(6, 5, 8, 16), (8, 8, 16, 8)])
+    def test_matches_naive_upsample_conv(self, h, w, cin, cout):
+        from stableanimator_tpu.models.layers import Upsample2D
+
+        x = jnp.asarray(_rand(2, h, w, cin, seed=3))
+        sub = Upsample2D(cout, subpixel=True)
+        naive = Upsample2D(cout, subpixel=False)
+        params = sub.init(jax.random.PRNGKey(0), x)
+        # identical param tree -> checkpoints interchangeable
+        naive_params = naive.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(naive_params))
+        assert [(p.shape, p.dtype) for p in jax.tree_util.tree_leaves(params)] \
+            == [(p.shape, p.dtype) for p in jax.tree_util.tree_leaves(naive_params)]
+        out = np.asarray(sub.apply(params, x))
+        ref = np.asarray(naive.apply(params, x))
+        assert out.shape == (2, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_matches_naive_bf16(self):
+        from stableanimator_tpu.models.layers import Upsample2D
+
+        x = jnp.asarray(_rand(1, 6, 6, 16, seed=4), jnp.bfloat16)
+        sub = Upsample2D(16, subpixel=True, dtype=jnp.bfloat16)
+        naive = Upsample2D(16, subpixel=False, dtype=jnp.bfloat16)
+        params = sub.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(sub.apply(params, x), np.float32)
+        ref = np.asarray(naive.apply(params, x), np.float32)
+        # taps are combined in fp32 before the bf16 cast, so rounding can
+        # differ by ~1 ulp of bf16
+        np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+class TestInt8Quant:
+    """W8A8 dynamic-quant dense path (ops/quant.py, layers.QuantDense)."""
+
+    def test_int8_dense_close_to_fp32(self):
+        from stableanimator_tpu.ops.quant import int8_dense
+
+        x = jnp.asarray(_rand(64, 320, seed=5))
+        w = jnp.asarray(_rand(320, 1280, seed=6) * 0.05)
+        b = jnp.asarray(_rand(1280, seed=7) * 0.1)
+        out = np.asarray(int8_dense(x, w, b))
+        ref = np.asarray(x @ w + b)
+        # per-token + per-channel int8: ~1% relative error on the matmul
+        denom = np.maximum(np.abs(ref), np.percentile(np.abs(ref), 50))
+        assert np.median(np.abs(out - ref) / denom) < 0.02
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+    def test_quant_dense_param_tree_matches_dense(self):
+        import flax.linen as nn
+        from stableanimator_tpu.models.layers import QuantDense
+
+        x = jnp.asarray(_rand(4, 32, seed=8))
+        qd = QuantDense(64)
+        d = nn.Dense(64, param_dtype=jnp.float32)
+        pq = qd.init(jax.random.PRNGKey(0), x)
+        pd = d.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(pq)
+                == jax.tree_util.tree_structure(pd))
+        assert [(p.shape, str(p.dtype)) for p in jax.tree_util.tree_leaves(pq)] \
+            == [(p.shape, str(p.dtype)) for p in jax.tree_util.tree_leaves(pd)]
+        # same params -> close outputs
+        out = np.asarray(qd.apply(pd, x))
+        ref = np.asarray(d.apply(pd, x))
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+    def test_quant_unet_shares_checkpoints_and_tracks_bf16(self):
+        """quant=True UNet must accept the bf16 UNet's params unchanged and
+        produce outputs that track the full-precision forward."""
+        from stableanimator_tpu.core.config import UNetConfig
+        from stableanimator_tpu.models.unet import UNetSpatioTemporal
+
+        cfg = UNetConfig(
+            block_out_channels=(32, 64, 64, 64), num_attention_heads=(2, 4, 4, 4),
+            cross_attention_dim=64, layers_per_block=1)
+        b, f, hh, ww = 1, 2, 8, 8
+        sample = jnp.asarray(_rand(b, f, hh, ww, cfg.in_channels, seed=9) * 0.3)
+        t = jnp.float32(1.0)
+        ctx = jnp.asarray(_rand(b, 5, 64, seed=10) * 0.3)
+        ids = jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32)
+        pose = jnp.asarray(_rand(b * f, hh, ww, 32, seed=11) * 0.3)
+
+        fp = UNetSpatioTemporal(cfg)
+        qn = UNetSpatioTemporal(cfg, quant=True)
+        params = fp.init(jax.random.PRNGKey(0), sample, t, ctx, ids, pose)
+        ref = np.asarray(fp.apply(params, sample, t, ctx, ids, pose))
+        out = np.asarray(qn.apply(params, sample, t, ctx, ids, pose))
+        assert out.shape == ref.shape
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
