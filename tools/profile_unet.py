@@ -151,16 +151,19 @@ def main():
         shapes = jax.eval_shape(
             lambda k: model.init(k, sample, t, ctx, ids, pose),
             jax.random.PRNGKey(0))
-        pool = (np.random.default_rng(0).standard_normal(1 << 22)
-                .astype(np.float32) * 0.05).astype(jnp.bfloat16)
-        c = [0]
 
-        def fill(s):
-            c[0] += 1
-            n = max(int(np.prod(s.shape)), 1)
-            return np.resize(pool[(c[0] * 9973) % (1 << 21):], n).reshape(s.shape)
+        # fill ON DEVICE: a host tree is ~700 leaves x ~0.3s tunnel RTT each
+        @jax.jit
+        def fill_tree(key):
+            leaves, treedef = jax.tree_util.tree_flatten(shapes)
+            keys = jax.random.split(key, len(leaves))
+            filled = [
+                (jax.random.uniform(k, s.shape, jnp.float32, -0.05, 0.05)
+                 .astype(s.dtype))
+                for k, s in zip(keys, leaves)]
+            return jax.tree_util.tree_unflatten(treedef, filled)
 
-        params = jax.device_put(jax.tree_util.tree_map(fill, shapes))
+        params = fill_tree(jax.random.PRNGKey(0))
 
         @jax.jit
         def fwd():
@@ -170,13 +173,14 @@ def main():
         print(f"UNet fwd wall: {wall*1e3:.1f} ms")
     else:
         from stableanimator_tpu.pipeline import (
-            build_models, generate, fast_init_params)
+            build_models, generate, device_fill_params)
 
         models = build_models(dtype=jnp.bfloat16)
-        params = fast_init_params(models, height=args.height, width=args.width)
-        params = jax.device_put(jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x,
-            params))
+        # fill params ON DEVICE: a host tree is ~700 leaves x ~0.3s of
+        # tunnel RTT each (minutes); one jitted RNG graph is seconds
+        params = device_fill_params(models, height=args.height,
+                                    width=args.width,
+                                    cast_fp32_to=jnp.bfloat16)
         pcfg = PipelineConfig(height=args.height, width=args.width,
                               num_frames=f, tile_size=16, tile_overlap=4,
                               num_inference_steps=25, decode_chunk_size=4)
