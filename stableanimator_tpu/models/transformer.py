@@ -36,8 +36,24 @@ from stableanimator_tpu.models.layers import (
     sinusoidal_embedding,
 )
 from stableanimator_tpu.ops.attention import dot_product_attention
+from stableanimator_tpu.ops.temporal_attention import temporal_attention_spatial
 
 Dtype = jnp.dtype
+
+
+def _use_temporal_kernel() -> bool:
+    """The Pallas spatial-layout temporal-attention kernel runs on TPU;
+    other backends keep the transpose + XLA formulation. SA_TPU_TEMPORAL_ATTN
+    overrides (1/0); default OFF until the kernel is compile-validated on a
+    real chip (interpret mode cannot check Mosaic lowering constraints)."""
+    import os
+
+    import jax
+
+    env = os.environ.get("SA_TPU_TEMPORAL_ATTN")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
 
 
 class Attention(nn.Module):
@@ -98,22 +114,31 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_v")(context)
         sk = k.shape[1]
-        q = q.reshape(n, sq, self.heads, self.dim_head)
-        k = k.reshape(n, sk, self.heads, self.dim_head)
-        v = v.reshape(n, sk, self.heads, self.dim_head)
         if is_self and self.seq_axis_group is not None:
             b, f = self.seq_axis_group
+            if _use_temporal_kernel():
+                # Pallas kernel: frame-axis attention without leaving the
+                # spatial layout — no q/k/v/o transposes in HBM and no
+                # MXU-hostile 16-token batched matmuls
+                o = temporal_attention_spatial(q, k, v, f, self.heads)
+            else:
 
-            def to_frame_major(t):
-                t = t.reshape(b, f, sq, self.heads, self.dim_head)
-                return t.transpose(0, 2, 1, 3, 4).reshape(
-                    b * sq, f, self.heads, self.dim_head)
+                def to_frame_major(t):
+                    t = t.reshape(b, f, sq, self.heads, self.dim_head)
+                    return t.transpose(0, 2, 1, 3, 4).reshape(
+                        b * sq, f, self.heads, self.dim_head)
 
-            o = dot_product_attention(to_frame_major(q), to_frame_major(k),
-                                      to_frame_major(v), use_flash=False)
-            o = (o.reshape(b, sq, f, self.heads, self.dim_head)
-                 .transpose(0, 2, 1, 3, 4))
+                q = q.reshape(n, sq, self.heads, self.dim_head)
+                k = k.reshape(n, sk, self.heads, self.dim_head)
+                v = v.reshape(n, sk, self.heads, self.dim_head)
+                o = dot_product_attention(to_frame_major(q), to_frame_major(k),
+                                          to_frame_major(v), use_flash=False)
+                o = (o.reshape(b, sq, f, self.heads, self.dim_head)
+                     .transpose(0, 2, 1, 3, 4)).reshape(n, sq, inner)
         else:
+            q = q.reshape(n, sq, self.heads, self.dim_head)
+            k = k.reshape(n, sk, self.heads, self.dim_head)
+            v = v.reshape(n, sk, self.heads, self.dim_head)
             o = dot_product_attention(q, k, v, use_flash=self.use_flash)
         o = o.reshape(n, sq, inner)
         return make_dense(self.out_dim, use_bias=True, dtype=self.dtype,

@@ -354,3 +354,57 @@ class TestInt8Quant:
         out = np.asarray(qn.apply(params, sample, t, ctx, ids, pose))
         assert out.shape == ref.shape
         assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
+
+
+class TestTemporalAttentionKernel:
+    """Pallas spatial-layout temporal attention (ops/temporal_attention.py)
+    vs the transpose + XLA reference formulation."""
+
+    @pytest.mark.parametrize("b,f,s,heads,d", [
+        (2, 16, 64, 5, 64),   # model shape (scaled-down S)
+        (1, 4, 33, 2, 16),    # unpadded S, small frames
+        (2, 2, 1, 2, 8),      # 1x1 spatial (tiny-config mid block)
+    ])
+    def test_matches_reference(self, b, f, s, heads, d):
+        from stableanimator_tpu.ops.temporal_attention import (
+            _reference_jnp,
+            temporal_attention_spatial,
+        )
+
+        hd = heads * d
+        rng = np.random.default_rng(42)
+        q = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+        out = np.asarray(temporal_attention_spatial(
+            q, k, v, f, heads, interpret=True))
+        ref = np.asarray(_reference_jnp(q, k, v, f, heads,
+                                        1.0 / np.sqrt(d)))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        from stableanimator_tpu.ops.temporal_attention import (
+            _reference_jnp,
+            temporal_attention_spatial,
+        )
+
+        b, f, s, heads, d = 1, 4, 16, 2, 16
+        hd = heads * d
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(jnp.square(temporal_attention_spatial(
+                q, k, v, f, heads, interpret=True)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.square(_reference_jnp(
+                q, k, v, f, heads, 1.0 / np.sqrt(d))))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
