@@ -33,6 +33,7 @@ from stableanimator_tpu.models.layers import (
     SpatioTemporalResBlock,
     Upsample2D,
 )
+from stableanimator_tpu.ops.attention import dot_product_attention
 
 Dtype = jnp.dtype
 
@@ -58,11 +59,11 @@ class VAEAttention(nn.Module):
         q = q.reshape(n, -1, self.heads, d)
         k = k.reshape(n, -1, self.heads, d)
         v = v.reshape(n, -1, self.heads, d)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(
-            jnp.asarray(d, jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(n, hh * ww, c)
+        # dispatch like every other attention: Pallas flash on TPU for the
+        # 4096-token 512^2-decode mid block (the naive formulation
+        # materialises a ~268 MB fp32 logits tensor PER FRAME in HBM),
+        # fp32-softmax XLA elsewhere — identical math either way
+        o = dot_product_attention(q, k, v).reshape(n, hh * ww, c)
         o = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(o)
         return o.reshape(n, hh, ww, c) + residual
 
