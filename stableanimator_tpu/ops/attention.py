@@ -54,7 +54,11 @@ def dot_product_attention(q, k, v, scale: float | None = None,
     for kv >= 1024 tokens).
     """
     if use_flash is None:
-        use_flash = _on_tpu() and k.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] >= 128
+        # 16-bit dtypes only: the kernel's VMEM block budget is sized for
+        # 2-byte elements (fp32 islands like the VAE encoder would double
+        # it); fp32 callers keep the XLA path
+        use_flash = (_on_tpu() and k.shape[1] >= _FLASH_MIN_SEQ
+                     and q.shape[1] >= 128 and q.dtype.itemsize == 2)
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     return xla_attention(q, k, v, scale=scale)
