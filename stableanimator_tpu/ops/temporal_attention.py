@@ -49,9 +49,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block_s(s_len: int, f: int, hd: int) -> int:
-    """Keep q/k/v/o blocks (4 * F * block_s * hd * 2B) near ~10 MB VMEM."""
-    budget = 10 * 1024 * 1024
-    bs = budget // (4 * f * hd * 2)
+    """VMEM-budgeted spatial block: Pallas double-buffers all four operand
+    blocks (8 * F * block_s * hd * 2B), and the kernel body's fp32
+    q/k/acc copies, per-key-frame logit planes and the Mosaic relayouts
+    around the lane-axis reductions cost roughly as much again — a 4 MB
+    operand budget is what fits every model shape inside the ~16 MB scoped
+    VMEM (swept empirically with tools/aot_check.py: 6 MB already OOMs at
+    hd=320)."""
+    budget = 4 * 1024 * 1024
+    bs = budget // (8 * f * hd * 2)
     bs = max(8, min(512, bs))
     bs = (bs // 8) * 8
     return min(bs, _round_up(s_len, 8))
@@ -59,7 +65,12 @@ def _pick_block_s(s_len: int, f: int, hd: int) -> int:
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, num_frames):
     """Blocks [1, F, block_s, hd]; all heads fused on the lane axis and
-    sliced per head (same pattern as the flash kernel)."""
+    sliced per head (same pattern as the flash kernel).
+
+    The F x F logits never materialise as one array: key frames are
+    visited as static slices and the softmax runs across the per-key-frame
+    [F, bs] planes (jnp.stack / integer indexing lower to >2D gathers,
+    which Mosaic rejects — found by the chipless AOT topology compile)."""
     hd = q_ref.shape[-1]
     d = hd // num_heads
     f = num_frames
@@ -68,17 +79,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, num_frames):
         q = q_ref[0, :, :, lo:lo + d].astype(jnp.float32) * scale  # [F,bs,d]
         k = k_ref[0, :, :, lo:lo + d].astype(jnp.float32)
         v = v_ref[0, :, :, lo:lo + d]
-        # logits l[f_q, f_k, s]: for each key frame g, broadcast-multiply
-        # against all query frames and reduce the head dim on the lane axis
-        ls = [jnp.sum(q * k[g][None], axis=-1) for g in range(f)]  # F x [F,bs]
-        l = jnp.stack(ls, axis=1)                                  # [F,F,bs]
-        m = jnp.max(l, axis=1, keepdims=True)
-        p = jnp.exp(l - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)                  # [F,F,bs]
-        p = p.astype(v.dtype)  # match xla_attention: probs in value dtype
+        # logits per key frame g: broadcast-multiply against all query
+        # frames and reduce the head dim on the lane axis -> [F, bs]
+        ls = []
+        for g in range(f):
+            kg = jax.lax.slice_in_dim(k, g, g + 1, axis=0)         # [1,bs,d]
+            ls.append(jnp.sum(q * kg, axis=-1))
+        m = functools.reduce(jnp.maximum, ls)                      # [F, bs]
+        es = [jnp.exp(l - m) for l in ls]
+        den = functools.reduce(jnp.add, es)
         acc = jnp.zeros(q.shape, jnp.float32)
         for g in range(f):
-            acc = acc + (p[:, g, :, None] * v[g][None]).astype(jnp.float32)
+            vg = jax.lax.slice_in_dim(v, g, g + 1, axis=0)         # [1,bs,d]
+            # probs in the value dtype (xla_attention numerics), fp32 accum
+            w = (es[g] / den).astype(v.dtype)                      # [F, bs]
+            acc = acc + (w[..., None] * vg).astype(jnp.float32)
         o_ref[0, :, :, lo:lo + d] = acc.astype(o_ref.dtype)
 
 
