@@ -1,0 +1,62 @@
+"""Chipless Mosaic lowering regression tests (slow tier).
+
+Compiles the Pallas kernels at representative model shapes against
+libtpu's compile-only v5e PJRT topology — catches Mosaic constraint
+violations (unsupported ops, VMEM overflow) that interpret-mode unit
+tests cannot see. No TPU hardware needed; skipped when libtpu is absent.
+"""
+
+import os
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+
+def _topology_mesh():
+    os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    try:
+        topo = topologies.get_topology_desc(
+            "v5e:1x1x1", "tpu", chips_per_host_bounds=(1, 1, 1))
+    except Exception as e:  # pragma: no cover - no libtpu in env
+        pytest.skip(f"compile-only TPU topology unavailable: {e!r}")
+    return Mesh(topo.devices, ("x",))
+
+
+def _compile(fn, args, mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    wrapped = shard_map(fn, mesh=mesh, in_specs=tuple(P() for _ in args),
+                        out_specs=P(), check_rep=False)
+    jax.jit(wrapped).lower(*args).compile()
+
+
+@pytest.mark.parametrize("b,f,s,h,d", [
+    (2, 16, 4096, 5, 64),    # 512^2 level-0
+    (2, 16, 9216, 5, 64),    # 576x1024 level-0
+    (2, 16, 64, 20, 64),     # mid block
+])
+def test_temporal_attention_lowers_on_v5e(b, f, s, h, d):
+    from stableanimator_tpu.ops.temporal_attention import (
+        temporal_attention_spatial)
+
+    mesh = _topology_mesh()
+    q = jax.ShapeDtypeStruct((b * f, s, h * d), jnp.bfloat16)
+    _compile(lambda q, k, v: temporal_attention_spatial(q, k, v, f, h),
+             (q, q, q), mesh)
+
+
+@pytest.mark.parametrize("b,s,h,d", [(32, 4096, 5, 64), (4, 4096, 1, 512)])
+def test_flash_attention_lowers_on_v5e(b, s, h, d):
+    from stableanimator_tpu.ops.flash_attention import flash_attention
+
+    mesh = _topology_mesh()
+    q = jax.ShapeDtypeStruct((b, s, h, d), jnp.bfloat16)
+    _compile(lambda q, k, v: flash_attention(q, k, v), (q, q, q), mesh)
