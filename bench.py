@@ -83,6 +83,8 @@ def _emit(ok: bool) -> None:
             "device": _STATE["device"],
             "fallback": _STATE["fallback"],
             "errors": _STATE["errors"][-3:],
+            "quant": _STATE.get("quant", False),
+            "temporal_kernel": _STATE.get("temporal_kernel", "0"),
             "total_wall_s": round(time.time() - _T0, 1),
         },
     }
@@ -151,7 +153,13 @@ def main():
     h = w = 512
 
     _STATE["phase"] = "param_init"
-    models = build_models(dtype=jnp.bfloat16)
+    # A/B switches for perf experiments (recorded in the JSON detail):
+    # SA_BENCH_QUANT=1 -> int8 W8A8 transformer FF/projections;
+    # SA_TPU_TEMPORAL_ATTN=1 -> Pallas spatial-layout temporal attention
+    quant = os.environ.get("SA_BENCH_QUANT", "0") not in ("0", "")
+    _STATE["quant"] = quant
+    _STATE["temporal_kernel"] = os.environ.get("SA_TPU_TEMPORAL_ATTN", "0")
+    models = build_models(dtype=jnp.bfloat16, quant=quant)
     t0 = time.time()
     params = _device_params(models, h, w)
     _STATE["init_s"] = round(time.time() - t0, 1)
