@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("--data_root_path", type=str, required=True)
     p.add_argument("--rec_data_path", type=str, default=None)
     p.add_argument("--vec_data_path", type=str, default=None)
+    p.add_argument("--data_path", type=str, default=None,
+                   help="single path-list file at dataset_width/height (the "
+                        "reference train_single.py flag; alias for "
+                        "--rec_data_path)")
     p.add_argument("--validation_image_folder", type=str, default=None)
     p.add_argument("--validation_control_folder", type=str, default=None)
     p.add_argument("--validation_image", type=str, default=None)
@@ -146,8 +150,9 @@ def main():
         print(f"resumed from step {int(state.step)}")
 
     rec = vec = None
-    if args.rec_data_path:
-        rec = AnimationDataset(read_path_list(args.rec_data_path),
+    rec_path = args.rec_data_path or args.data_path
+    if rec_path:
+        rec = AnimationDataset(read_path_list(rec_path),
                                cfg.sample_n_frames, args.dataset_width,
                                args.dataset_height, seed=args.seed)
     if args.vec_data_path:

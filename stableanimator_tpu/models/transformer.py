@@ -41,6 +41,20 @@ from stableanimator_tpu.ops.temporal_attention import temporal_attention_spatial
 Dtype = jnp.dtype
 
 
+import contextvars
+
+# GSPMD cannot partition Mosaic custom calls: mesh-sharded graphs
+# (pipeline.generate(mesh=...), dp/sp training) must keep the XLA
+# formulation. pipeline code sets this while tracing sharded programs.
+_TEMPORAL_KERNEL_BLOCKED = contextvars.ContextVar(
+    "sa_temporal_kernel_blocked", default=False)
+
+
+def block_temporal_kernel():
+    """Context token: call .reset(tok) when the sharded trace is done."""
+    return _TEMPORAL_KERNEL_BLOCKED.set(True)
+
+
 def _use_temporal_kernel() -> bool:
     """The Pallas spatial-layout temporal-attention kernel runs on TPU;
     other backends keep the transpose + XLA formulation. SA_TPU_TEMPORAL_ATTN
@@ -50,6 +64,8 @@ def _use_temporal_kernel() -> bool:
 
     import jax
 
+    if _TEMPORAL_KERNEL_BLOCKED.get():
+        return False
     env = os.environ.get("SA_TPU_TEMPORAL_ATTN")
     if env is not None:
         return env not in ("0", "false", "")

@@ -52,6 +52,7 @@ from stableanimator_tpu.models.clip import (
 )
 from stableanimator_tpu.models.id_encoder import FusionFaceId
 from stableanimator_tpu.models.pose_net import PoseNet
+from stableanimator_tpu.models.transformer import block_temporal_kernel
 from stableanimator_tpu.models.unet import UNetSpatioTemporal
 from stableanimator_tpu.models.vae import AutoencoderKLTemporalDecoder
 from stableanimator_tpu.ops.resize import resize_antialias
@@ -481,13 +482,24 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
         num_frames=pose_pixels.shape[0],
         tile_size=min(cfg.tile_size, pose_pixels.shape[0]),
     )
-    if face_opt is not None:
-        # the optimizer carries traced arrays + callables; jit a closure
-        # over it (one-off compilation per optimizer instance)
-        fn = jax.jit(functools.partial(_generate_impl, models,
-                                       face_opt=face_opt, mesh=mesh,
-                                       clip_image=clip_image),
-                     static_argnums=(4,))  # cfg (models is bound by partial)
-        return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
-    return _generate_jit(models, params, ref_image, pose_pixels,
-                         face_embedding, cfg, rng, None, mesh, clip_image)
+    # mesh-sharded graphs must not trace the Pallas temporal-attention
+    # kernel (GSPMD cannot partition Mosaic custom calls); tracing happens
+    # synchronously inside the jit call below, so a contextvar guard works
+    tok = block_temporal_kernel() if mesh is not None else None
+    try:
+        if face_opt is not None:
+            # the optimizer carries traced arrays + callables; jit a closure
+            # over it (one-off compilation per optimizer instance)
+            fn = jax.jit(functools.partial(_generate_impl, models,
+                                           face_opt=face_opt, mesh=mesh,
+                                           clip_image=clip_image),
+                         static_argnums=(4,))  # cfg (models bound by partial)
+            return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
+        return _generate_jit(models, params, ref_image, pose_pixels,
+                             face_embedding, cfg, rng, None, mesh, clip_image)
+    finally:
+        if tok is not None:
+            from stableanimator_tpu.models.transformer import (
+                _TEMPORAL_KERNEL_BLOCKED)
+
+            _TEMPORAL_KERNEL_BLOCKED.reset(tok)
