@@ -105,6 +105,38 @@ def _install_signal_handlers():
     signal.signal(signal.SIGINT, _on_signal)
 
 
+def _install_watchdog():
+    """Emit the JSON line even if the main thread is wedged inside a C call.
+
+    The axon tunnel has been observed to hang jax.devices() forever (PJRT
+    client init blocked on a dead orchestrator). Python signal handlers only
+    run between bytecodes of the MAIN thread, so SIGTERM from `timeout`
+    cannot rescue that state — but a daemon thread can, as the blocked RPC
+    releases the GIL. After the hard deadline it emits partial diagnostics
+    and force-exits the process.
+    """
+    import threading
+
+    hard = float(os.environ.get("BENCH_HARD_TIMEOUT_S", str(_BUDGET + 45)))
+
+    def _watch():
+        while True:
+            left = hard - (time.time() - _T0)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        if _EMITTED[0] or _STATE["phase"] == "done":
+            return
+        _STATE["errors"].append(
+            f"watchdog: hard timeout {hard:.0f}s in phase {_STATE['phase']}")
+        _log(f"watchdog fired in phase {_STATE['phase']} — emitting partial JSON")
+        _emit(ok=False)
+        sys.stdout.flush()
+        os._exit(0 if _STATE["times"] else 1)
+
+    threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+
+
 def _remaining() -> float:
     return _BUDGET - (time.time() - _T0)
 
@@ -130,6 +162,7 @@ def _device_params(models, h, w):
 
 def main():
     _install_signal_handlers()
+    _install_watchdog()
 
     import numpy as np
 
