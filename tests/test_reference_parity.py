@@ -230,6 +230,93 @@ class TestUNetReal:
                                    np.transpose(want, (0, 1, 3, 4, 2)),
                                    rtol=2e-3, atol=2e-3)
 
+    def test_per_block_traced_stats_tiny(self, rng):
+        """Traced-golden parity THROUGH the UNet stack, not just at the
+        output: min/max/mean/std of every block boundary (conv_in, each
+        down block, mid, each up block, conv_out) from the REAL reference
+        UNet, compared against our intermediates captured with Flax
+        capture_intermediates. This is the reference's own debug idiom
+        (todos.debug.output_var dumps shape/min/max/mean, e.g.
+        inference_pipeline_animation.py:598) turned into a parity gate:
+        a numerics drift inside one block fails HERE at that block's name
+        instead of only blurring the final-output tolerance. Stats are
+        permutation-invariant, so NCHW-vs-NHWC layout needs no transposes.
+        """
+        mod = ref.load_reference_module("unet")
+        torch_model = mod.UNetSpatioTemporalConditionModel(
+            **_tiny_ref_unet_kwargs())
+        svd_sd = ref.state_dict_numpy(torch_model)
+        ref.install_reference_processors(torch_model, mod, svd_sd=svd_sd)
+        torch_model = torch_model.eval()
+        params = convert_unet(ref.state_dict_numpy(torch_model))
+
+        cfg = _tiny_our_unet_config()
+        model = UNetSpatioTemporal(cfg)
+        b, f, h, w = 1, 2, 16, 16
+        sample = rng.normal(size=(b, f, cfg.in_channels, h, w)).astype(np.float32)
+        context = rng.normal(size=(b, 1 + cfg.num_id_tokens,
+                                   cfg.cross_attention_dim)).astype(np.float32)
+        add_ids = np.array([[6.0, 127.0, 0.02]], dtype=np.float32)
+        t = np.float32(1.6377)
+        pose = rng.normal(
+            size=(b * f, cfg.block_out_channels[0], h, w)).astype(np.float32)
+
+        n_down = len(cfg.block_out_channels)
+        boundaries = (["conv_in"]
+                      + [f"down_blocks_{i}" for i in range(n_down)]
+                      + ["mid_block"]
+                      + [f"up_blocks_{i}" for i in range(n_down)]
+                      + ["conv_out"])
+
+        def _stats(x):
+            x = np.asarray(x, np.float64)
+            return np.array([x.min(), x.max(), x.mean(), x.std()])
+
+        # --- golden: forward hooks on the torch block modules -------------
+        golden = {}
+
+        def _hook(name):
+            def fn(_module, _inputs, output):
+                out = output[0] if isinstance(output, tuple) else output
+                golden[name] = _stats(out.detach().numpy())
+            return fn
+
+        handles = []
+        for name in boundaries:
+            tname = name.replace("down_blocks_", "down_blocks.").replace(
+                "up_blocks_", "up_blocks.")
+            handles.append(
+                torch_model.get_submodule(tname).register_forward_hook(
+                    _hook(name)))
+        with torch.no_grad():
+            torch_model(torch.from_numpy(sample), torch.tensor(t),
+                        torch.from_numpy(context), torch.from_numpy(add_ids),
+                        torch.from_numpy(pose))
+        for hd in handles:
+            hd.remove()
+        assert set(golden) == set(boundaries)
+
+        # --- ours: Flax capture_intermediates at the same module names ----
+        wanted = set(boundaries)
+        _, state = model.apply(
+            params,
+            jnp.asarray(np.transpose(sample, (0, 1, 3, 4, 2))), t,
+            jnp.asarray(context), jnp.asarray(add_ids),
+            jnp.asarray(_nchw_to_nhwc(pose)),
+            capture_intermediates=lambda m, _method: m.name in wanted,
+            mutable=["intermediates"])
+        inter = state["intermediates"]
+        for name in boundaries:
+            out = inter[name]["__call__"][0]
+            if isinstance(out, tuple):
+                out = out[0]
+            got = _stats(np.asarray(out))
+            scale = max(abs(golden[name][1]), abs(golden[name][0]), 1.0)
+            np.testing.assert_allclose(
+                got, golden[name], atol=2e-3 * scale,
+                err_msg=f"stats diverged at block boundary {name!r} "
+                        f"(got min/max/mean/std {got}, want {golden[name]})")
+
     def test_full_config_keyspace(self):
         """Released-config key space (1.5B params): meta-device
         instantiation + surgery, shape-only conversion, against
