@@ -84,6 +84,7 @@ def _emit(ok: bool) -> None:
             "fallback": _STATE["fallback"],
             "errors": _STATE["errors"][-3:],
             "quant": _STATE.get("quant", False),
+            "int8_pallas": os.environ.get("SA_INT8_PALLAS", "0"),
             "temporal_kernel": _STATE.get("temporal_kernel", "0"),
             "total_wall_s": round(time.time() - _T0, 1),
         },
@@ -188,6 +189,7 @@ def main():
     _STATE["phase"] = "param_init"
     # A/B switches for perf experiments (recorded in the JSON detail):
     # SA_BENCH_QUANT=1 -> int8 W8A8 transformer FF/projections;
+    # SA_INT8_PALLAS=1 -> fused Pallas W8A8 matmul (vs the XLA int8 path);
     # SA_TPU_TEMPORAL_ATTN=1 -> Pallas spatial-layout temporal attention
     quant = os.environ.get("SA_BENCH_QUANT", "0") not in ("0", "")
     _STATE["quant"] = quant

@@ -41,18 +41,15 @@ from stableanimator_tpu.ops.temporal_attention import temporal_attention_spatial
 Dtype = jnp.dtype
 
 
-import contextvars
-
 # GSPMD cannot partition Mosaic custom calls: mesh-sharded graphs
 # (pipeline.generate(mesh=...), dp/sp training) must keep the XLA
 # formulation. pipeline code sets this while tracing sharded programs.
-_TEMPORAL_KERNEL_BLOCKED = contextvars.ContextVar(
-    "sa_temporal_kernel_blocked", default=False)
-
-
-def block_temporal_kernel():
-    """Context token: call .reset(tok) when the sharded trace is done."""
-    return _TEMPORAL_KERNEL_BLOCKED.set(True)
+# The gate is shared with every other optional Pallas kernel (ops/gate.py);
+# the historical names are kept for the pipeline's imports.
+from stableanimator_tpu.ops.gate import (  # noqa: E402
+    PALLAS_KERNELS_BLOCKED as _TEMPORAL_KERNEL_BLOCKED,
+    block_pallas_kernels as block_temporal_kernel,
+)
 
 
 def _use_temporal_kernel() -> bool:

@@ -60,3 +60,19 @@ def test_flash_attention_lowers_on_v5e(b, s, h, d):
     mesh = _topology_mesh()
     q = jax.ShapeDtypeStruct((b, s, h, d), jnp.bfloat16)
     _compile(lambda q, k, v: flash_attention(q, k, v), (q, q, q), mesh)
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (32 * 4096, 320, 2560),    # L0 GEGLU (K below one lane tile -> pad 384)
+    (32 * 256, 1280, 10240),   # L2/L3 GEGLU
+    (32 * 256, 5120, 1280),    # L2/L3 FF out
+])
+def test_int8_w8a8_lowers_on_v5e(m, k, n):
+    from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+    mesh = _topology_mesh()
+    x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
+    wq = jax.ShapeDtypeStruct((k, n), jnp.int8)
+    ws = jax.ShapeDtypeStruct((n,), jnp.float32)
+    _compile(lambda x, wq, ws: int8_matmul_pallas(x, wq, ws),
+             (x, wq, ws), mesh)

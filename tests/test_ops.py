@@ -356,6 +356,127 @@ class TestInt8Quant:
         assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
 
 
+class TestInt8PallasKernel:
+    """Fused W8A8 Pallas matmul (ops/quant_pallas.py) vs the XLA
+    formulation it must bit-match (interpret mode on CPU)."""
+
+    @staticmethod
+    def _boundary_free_x(m, k, seed, dtype):
+        """Activations whose quantization is STABLE under 1-ulp scale
+        perturbations: x = xq_true * 2^e rows (exact in bf16 for |xq|<=63,
+        and 127 itself is 7 mantissa bits), with the row max pinned to
+        +/-127 * 2^e so the recomputed scale is the row scale. x/s then
+        lands ~0.5 away from every round-half boundary, so BOTH
+        compilations must produce bit-identical xq — isolating the kernel's
+        math from the compiler's 1-ulp freedom in max|x|/127 (a +/-1 shift
+        of one xq element would otherwise perturb a whole output row by
+        s_x*|w[k,:]|, which no elementwise tolerance can bound tightly)."""
+        r = np.random.default_rng(seed)
+        xq = r.integers(-63, 64, size=(m, k)).astype(np.float32)
+        xq[:, 0] = np.where(r.random(m) < 0.5, 127.0, -127.0)
+        s_row = np.exp2(r.integers(-6, 3, size=(m, 1))).astype(np.float32)
+        return jnp.asarray(xq * s_row, dtype), xq, s_row
+
+    @pytest.mark.parametrize("m,k,n", [
+        (64, 320, 1280),      # K not a lane multiple (320 -> pad 384)
+        (100, 640, 2560),     # M unaligned
+        (256, 1280, 5120),    # the measured FF shape family
+        (33, 1280, 1000),     # M and N unaligned
+    ])
+    def test_matches_xla_formulation(self, m, k, n):
+        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+        x, xq_true, s_row = self._boundary_free_x(m, k, 20, jnp.bfloat16)
+        w = jnp.asarray(_rand(k, n, seed=21) * 0.05)
+        wq, ws = quantize_weight(w)
+        ref = np.asarray(int8_matmul(x, wq, ws), np.float32)
+        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True),
+                         np.float32)
+        # xq is forced identical by construction; the only remaining
+        # freedom is 1 ulp in the fp32 scale product -> at most 1 ulp of
+        # the bf16 output (2^-8 relative)
+        np.testing.assert_allclose(out, ref, rtol=2.0 ** -7, atol=1e-6)
+        assert (out == ref).mean() > 0.99
+        # and both must equal the exact integer math dequantized
+        exact = (xq_true @ np.asarray(wq, np.float32)) \
+            * (s_row * np.asarray(ws, np.float32)[None, :])
+        np.testing.assert_allclose(out, exact, rtol=2.0 ** -7,
+                                   atol=2.0 ** -7 * np.abs(exact).max())
+
+    def test_random_data_tracks_fp32_matmul(self):
+        """On arbitrary data the pallas path must meet the same accuracy
+        budget vs the exact fp32 matmul as the XLA int8 path (quant error,
+        not kernel error, dominates)."""
+        from stableanimator_tpu.ops.quant import quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+        x = jnp.asarray(_rand(64, 320, seed=5))
+        w = jnp.asarray(_rand(320, 1280, seed=6) * 0.05)
+        wq, ws = quantize_weight(w)
+        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True))
+        ref = np.asarray(x @ w)
+        denom = np.maximum(np.abs(ref), np.percentile(np.abs(ref), 50))
+        assert np.median(np.abs(out - ref) / denom) < 0.02
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+    def test_batched_input_and_fp32(self):
+        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+        x = jnp.asarray(_rand(2, 40, 320, seed=22))  # [B, S, K] fp32
+        w = jnp.asarray(_rand(320, 640, seed=23) * 0.05)
+        wq, ws = quantize_weight(w)
+        ref = np.asarray(int8_matmul(x, wq, ws))
+        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True))
+        assert out.shape == (2, 40, 640)
+        # fp32 output: only the rare quant-boundary shifts can differ
+        x32 = np.asarray(x, np.float32).reshape(-1, 320)
+        s_x = np.maximum(np.abs(x32).max(-1, keepdims=True) / 127.0, 1e-12)
+        step = (s_x * np.asarray(ws, np.float32)[None, :]).reshape(ref.shape)
+        assert (np.abs(out - ref) <= 1e-5 * np.abs(ref) + 1.5 * step).all()
+        assert (out == ref).mean() > 0.9
+
+    def test_grads_flow_via_xla_vjp(self):
+        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+        x = jnp.asarray(_rand(16, 128, seed=24))
+        w = jnp.asarray(_rand(128, 256, seed=25) * 0.05)
+        wq, ws = quantize_weight(w)
+        g_pl = jax.grad(lambda a: jnp.sum(
+            int8_matmul_pallas(a, wq, ws, interpret=True) ** 2))(x)
+        g_ref = jax.grad(lambda a: jnp.sum(int8_matmul(a, wq, ws) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_env_gate_and_mesh_block(self, monkeypatch):
+        from stableanimator_tpu.ops import gate
+        from stableanimator_tpu.ops.quant import _use_pallas_int8
+
+        monkeypatch.delenv("SA_INT8_PALLAS", raising=False)
+        assert _use_pallas_int8() is False          # default OFF
+        monkeypatch.setenv("SA_INT8_PALLAS", "1")
+        assert _use_pallas_int8() is True
+        tok = gate.block_pallas_kernels()           # sharded-trace guard wins
+        try:
+            assert _use_pallas_int8() is False
+        finally:
+            gate.PALLAS_KERNELS_BLOCKED.reset(tok)
+
+    def test_temporal_kernel_shares_the_gate(self, monkeypatch):
+        from stableanimator_tpu.models.transformer import _use_temporal_kernel
+        from stableanimator_tpu.ops import gate
+
+        monkeypatch.setenv("SA_TPU_TEMPORAL_ATTN", "1")
+        assert _use_temporal_kernel() is True
+        tok = gate.block_pallas_kernels()
+        try:
+            assert _use_temporal_kernel() is False
+        finally:
+            gate.PALLAS_KERNELS_BLOCKED.reset(tok)
+
+
 class TestTemporalAttentionKernel:
     """Pallas spatial-layout temporal attention (ops/temporal_attention.py)
     vs the transpose + XLA reference formulation."""

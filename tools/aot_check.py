@@ -58,7 +58,7 @@ def check(name, fn, args, mesh):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="temporal,flash")
+    ap.add_argument("--what", default="temporal,flash,int8")
     args = ap.parse_args()
     what = set(args.what.split(","))
     mesh = _mesh()
@@ -106,6 +106,28 @@ def main():
         ok &= check(f"flash_bwd b={b} s={s} h={h} d={d}",
                     lambda q, k, v: jax.grad(loss, argnums=(0, 1, 2))(q, k, v),
                     (q, q, q), mesh)
+
+    if "int8" in what:
+        from stableanimator_tpu.ops.quant import quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
+
+        # transformer FF/GEGLU/projection shapes: (tokens, K, N) per UNet
+        # level at 512^2 (CFG batch 2 x 16 frames folded into tokens)
+        shapes = [
+            (32 * 4096, 320, 2560),    # L0 GEGLU proj (inner 2x for gate)
+            (32 * 4096, 1280, 320),    # L0 FF out
+            (32 * 1024, 640, 5120),
+            (32 * 256, 1280, 10240),   # L2/L3 GEGLU
+            (32 * 256, 5120, 1280),    # L2/L3 FF out
+            (32 * 4096, 320, 320),     # attention out-proj
+        ]
+        for m, k, n in shapes:
+            x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
+            wq = jax.ShapeDtypeStruct((k, n), jnp.int8)
+            ws = jax.ShapeDtypeStruct((n,), jnp.float32)
+            ok &= check(f"int8_w8a8 m={m} k={k} n={n}",
+                        lambda x, wq, ws: int8_matmul_pallas(x, wq, ws),
+                        (x, wq, ws), mesh)
 
     sys.exit(0 if ok else 1)
 
