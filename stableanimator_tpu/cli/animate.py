@@ -47,6 +47,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--allow_random_init", action="store_true",
                    help="randomly initialise any missing checkpoint (smoke runs)")
+    p.add_argument("--model_scale", type=str, default="full",
+                   choices=["full", "micro"],
+                   help="'micro' = depth-1 tiny model zoo (same topology, "
+                        "one resnet/transformer layer per block) for "
+                        "smoke-testing the full CLI contract without the "
+                        "1.5B-param compile; pairs with --allow_random_init "
+                        "(mirrors cli/train.py)")
     p.add_argument("--face_channel_order", type=str, default="reference",
                    choices=["reference", "standard"],
                    help="'reference' replicates the reference's channel-"
@@ -136,7 +143,14 @@ def main():
     )
     from PIL import Image
 
-    models = build_models(dtype=jnp.bfloat16)
+    model_kwargs = dict(dtype=jnp.bfloat16)
+    if args.model_scale == "micro":
+        from stableanimator_tpu.core.config import micro_model_kwargs
+
+        # converted .npz checkpoints are full-size; micro is for smoke runs
+        model_kwargs.update(micro_model_kwargs())
+        model_kwargs["dtype"] = None
+    models = build_models(**model_kwargs)
     params = load_params(args.checkpoint_dir, models, args.allow_random_init,
                          args.init_id_adapter, args.height, args.width)
     # bf16 cast on the HOST (numpy): per-leaf device ops over the remote TPU
@@ -159,6 +173,7 @@ def main():
     print(f"{len(pose_images)} pose frames at {args.width}x{args.height}")
 
     # face-ID embedding of the reference (reference inference_basic.py:516-535)
+    id_dim = models.face_encoder.config.id_embeddings_dim  # 512 (ArcFace) at full scale
     det_path = os.path.join(args.checkpoint_dir, "antelopev2", "scrfd_10g_bnkps.onnx")
     rec_path = os.path.join(args.checkpoint_dir, "antelopev2", "glintr100.onnx")
     if os.path.exists(det_path) and os.path.exists(rec_path):
@@ -170,11 +185,15 @@ def main():
         if emb is None:
             print("WARNING: no face detected in the reference image; "
                   "using a zero identity embedding")
-            emb = np.zeros((512,), np.float32)
+            emb = np.zeros((id_dim,), np.float32)
+        elif emb.shape[-1] != id_dim:  # micro scale + real ArcFace graph
+            print(f"WARNING: identity embedding dim {emb.shape[-1]} != "
+                  f"model id dim {id_dim}; truncating/padding (micro smoke)")
+            emb = np.resize(emb.astype(np.float32), (id_dim,))
     else:
         print("WARNING: antelopev2 ONNX models missing; using zero identity "
               "embedding")
-        emb = np.zeros((512,), np.float32)
+        emb = np.zeros((id_dim,), np.float32)
 
     cfg = PipelineConfig(
         height=args.height, width=args.width, num_frames=len(pose_images),

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""A/B matrix runner for the headline bench's perf switches.
+
+Runs bench.py as a subprocess once per configuration (fresh process =
+clean HBM + honest per-config compile/caching), parses each run's JSON
+line, and writes AB_RESULTS.json plus a comparison table to stderr.
+
+Configurations (each an env-var set on top of the same bench):
+  base          — round-3 default path
+  temporal      — SA_TPU_TEMPORAL_ATTN=1 (Pallas spatial-layout temporal
+                  attention; expected to remove the q/k/v/o transposes and
+                  XLA's padded 16x64x16 batched matmuls)
+  int8          — SA_BENCH_QUANT=1 (XLA W8A8 FF/projections; measured
+                  1.19x at FF shapes in isolation)
+  int8_pallas   — SA_BENCH_QUANT=1 SA_INT8_PALLAS=1 (fused Pallas W8A8:
+                  in-kernel activation quant, xq never touches HBM)
+  all           — temporal + int8_pallas together
+
+Usage:
+  python tools/bench_ab.py                   # full matrix
+  python tools/bench_ab.py base temporal     # subset
+  BENCH_BUDGET_S=300 python tools/bench_ab.py  # tighter per-config budget
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = {
+    "base": {},
+    "temporal": {"SA_TPU_TEMPORAL_ATTN": "1"},
+    "int8": {"SA_BENCH_QUANT": "1"},
+    "int8_pallas": {"SA_BENCH_QUANT": "1", "SA_INT8_PALLAS": "1"},
+    "all": {"SA_TPU_TEMPORAL_ATTN": "1", "SA_BENCH_QUANT": "1",
+            "SA_INT8_PALLAS": "1"},
+}
+
+
+def run_one(name: str, extra_env: dict) -> dict:
+    env = dict(os.environ)
+    env.update(extra_env)
+    env.setdefault("BENCH_BUDGET_S", "420")
+    budget = float(env["BENCH_BUDGET_S"])
+    print(f"[ab] === {name}: {extra_env or 'defaults'} "
+          f"(budget {budget:.0f}s) ===", file=sys.stderr, flush=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, cwd=ROOT, capture_output=True, text=True,
+        timeout=budget + 180)
+    line = None
+    for ln in proc.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln
+    rec = {"config": name, "env": extra_env, "rc": proc.returncode,
+           "wall_s": round(time.time() - t0, 1)}
+    if line:
+        rec.update(json.loads(line))
+    else:
+        rec["stderr_tail"] = proc.stderr.splitlines()[-5:]
+    print(f"[ab] {name}: value={rec.get('value')} rc={proc.returncode} "
+          f"wall={rec['wall_s']}s", file=sys.stderr, flush=True)
+    return rec
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    bad = [n for n in names if n not in CONFIGS]
+    if bad:
+        sys.exit(f"unknown config(s) {bad}; choose from {list(CONFIGS)}")
+    results = []
+    for name in names:
+        try:
+            results.append(run_one(name, CONFIGS[name]))
+        except subprocess.TimeoutExpired:
+            results.append({"config": name, "env": CONFIGS[name],
+                            "rc": -1, "error": "subprocess timeout"})
+        out_path = os.path.join(ROOT, "AB_RESULTS.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    base = next((r.get("value") for r in results
+                 if r["config"] == "base" and r.get("value")), None)
+    print(f"\n[ab] {'config':<12} {'f/s':>7} {'e2e s':>7} {'vs base':>8}",
+          file=sys.stderr)
+    for r in results:
+        v = r.get("value") or 0.0
+        e2e = (r.get("detail") or {}).get("e2e_seconds_16_frames")
+        rel = f"{v / base:7.3f}x" if base and v else "      —"
+        print(f"[ab] {r['config']:<12} {v:7.4f} "
+              f"{e2e if e2e is not None else float('nan'):7.2f} {rel}",
+              file=sys.stderr)
+    print(json.dumps({"metric": "ab_matrix", "results": len(results),
+                      "best": max((r.get("value") or 0) for r in results)}))
+
+
+if __name__ == "__main__":
+    main()
