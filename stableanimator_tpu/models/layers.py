@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from stableanimator_tpu.ops.norms import group_norm, layer_norm
-from stableanimator_tpu.ops.quant import int8_dense
+from stableanimator_tpu.ops.quant import int8_dense, int8_geglu
 from stableanimator_tpu.ops.resize import upsample_nearest_2x
 
 Dtype = jnp.dtype
@@ -43,6 +43,9 @@ class QuantDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    # GEGLU epilogue: features = 2N holds [W_value | W_gate]; the call
+    # returns (xWv+bv) * gelu(xWg+bg) of shape [..., N]
+    geglu: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -53,6 +56,8 @@ class QuantDense(nn.Module):
                            jnp.float32) if self.use_bias else None)
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.geglu:
+            return int8_geglu(x, kernel, bias)
         return int8_dense(x, kernel, bias)
 
 
@@ -374,8 +379,14 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        proj = make_dense(self.dim_out * 2, dtype=self.dtype, name="proj",
-                          quant=self.quant)(x)
+        if self.quant:
+            # the projection, split, gelu and multiply dispatch as ONE op
+            # (fused in-kernel on the Pallas int8 path); param tree is the
+            # same QuantDense proj/{kernel,bias}
+            return QuantDense(self.dim_out * 2, dtype=self.dtype,
+                              name="proj", geglu=True)(x)
+        proj = make_dense(self.dim_out * 2, dtype=self.dtype,
+                          name="proj")(x)
         value, gate = jnp.split(proj, 2, axis=-1)
         return value * jax.nn.gelu(gate, approximate=False)
 

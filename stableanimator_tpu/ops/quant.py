@@ -87,3 +87,22 @@ def int8_dense(x, kernel, bias=None):
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def int8_geglu(x, kernel, bias=None):
+    """GEGLU projection through the int8 MXU path: kernel [K, 2N] holds
+    [W_value | W_gate]; returns (xWv + bv) * gelu_exact(xWg + bg), shape
+    [..., N] (models/layers.py::GEGLU split order). On the Pallas path the
+    whole epilogue is fused into the matmul tiles."""
+    import jax
+
+    wq, ws = quantize_weight(kernel)
+    if _use_pallas_int8():
+        from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
+
+        return int8_geglu_pallas(x, wq, ws, bias)
+    out = int8_matmul(x, wq, ws)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    value, gate = jnp.split(out, 2, axis=-1)
+    return value * jax.nn.gelu(gate, approximate=False)

@@ -61,17 +61,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_blocks(m: int, k_pad: int, n_pad: int, x_bytes: int,
-                 out_bytes: int) -> tuple[int, int]:
+                 out_bytes: int, n_weights: int = 1) -> tuple[int, int]:
     """VMEM-budgeted (bm, bn). Accounts for pallas double-buffering of all
     operand blocks plus the kernel body's fp32 x copy, xq, and int32 acc.
     8 MB leaves headroom in the ~16 MB scoped VMEM for Mosaic relayouts
-    (same empirical margin as the flash/temporal kernels)."""
+    (same empirical margin as the flash/temporal kernels). n_weights=2 for
+    the GEGLU variant (value + gate panels resident together)."""
     budget = 8 * 1024 * 1024
 
     def est(bm, bn):
-        operands = 2 * (bm * k_pad * x_bytes) + 2 * (k_pad * bn) \
-            + 2 * (bm * bn * out_bytes) + 2 * (bn * 4)
-        body = bm * k_pad * 4 + bm * k_pad + bm * bn * 4
+        operands = 2 * (bm * k_pad * x_bytes) \
+            + n_weights * 2 * (k_pad * bn) \
+            + 2 * (bm * bn * out_bytes) + n_weights * 4 * (bn * 4)
+        body = bm * k_pad * 4 + bm * k_pad + n_weights * bm * bn * 4
         return operands + body
 
     # Mosaic block constraint: last dim a multiple of 128 (or the full
@@ -171,3 +173,139 @@ def int8_matmul_pallas(x, w_q, w_scale, *, interpret: bool = False):
     scales [N]; dynamic per-token activation quant fused into the matmul.
     Bit-matches ops/quant.py::int8_matmul."""
     return _int8_matmul_core(x, w_q, w_scale, interpret)
+
+
+# ---------------------------------------------------------------------------
+# GEGLU variant: out = (xWv + bv) * gelu(xWg + bg) with [Wv | Wg] the two
+# halves of the GEGLU projection (models/layers.py::GEGLU, reference
+# unet.py:859-870). Fusing the epilogue halves the first FF matmul's HBM
+# output traffic (write N instead of 2N) and removes the separate
+# split+gelu+mul elementwise pass entirely. Both int8 dots reuse the same
+# in-VMEM xq; bias and activation run in fp32 before the single output cast
+# (the unfused path rounds the projection to bf16 first — covered by the
+# parity test's tolerance).
+# ---------------------------------------------------------------------------
+
+
+def _erf_as(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs error 1.5e-7), from
+    primitives Mosaic can lower (abs/sign/exp/fma)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _geglu_kernel(x_ref, wv_ref, wg_ref, sv_ref, sg_ref, bv_ref, bg_ref,
+                  o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / _QMAX
+    s_x = jnp.maximum(s_x, 1e-12)
+    xq = jnp.clip(jnp.round(x / s_x), -_QMAX, _QMAX).astype(jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    accv = jax.lax.dot_general(xq, wv_ref[...], dims,
+                               preferred_element_type=jnp.int32)
+    accg = jax.lax.dot_general(xq, wg_ref[...], dims,
+                               preferred_element_type=jnp.int32)
+    v = accv.astype(jnp.float32) * (s_x * sv_ref[...]) + bv_ref[...]
+    g = accg.astype(jnp.float32) * (s_x * sg_ref[...]) + bg_ref[...]
+    # exact-erf gelu. Mosaic lowers neither erfc (jax.nn.gelu's stable
+    # form) nor erf itself, so erf comes from the Abramowitz-Stegun
+    # 7.1.26 rational approximation: max abs error 1.5e-7 — fp32-eps
+    # level, far below both bf16 resolution and the int8 quant noise.
+    gelu_g = 0.5 * g * (1.0 + _erf_as(g * 0.7071067811865476))
+    o_ref[...] = (v * gelu_g).astype(o_ref.dtype)
+
+
+def _geglu_fwd_impl(x, w_q, w_scale, bias, interpret):
+    *lead, k = x.shape
+    n2 = w_q.shape[1]
+    n = n2 // 2
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k)
+
+    wv, wg = w_q[:, :n], w_q[:, n:]
+    sv, sg = w_scale[:n], w_scale[n:]
+    if bias is None:
+        bias = jnp.zeros((n2,), jnp.float32)
+    bv, bg = bias[:n].astype(jnp.float32), bias[n:].astype(jnp.float32)
+
+    k_pad = _round_up(k, 128)
+    n_pad = _round_up(n, 128)
+    bm, bn = _pick_blocks(m, k_pad, n_pad, x2.dtype.itemsize,
+                          x2.dtype.itemsize, n_weights=2)
+    m_pad = _round_up(m, bm)
+    n_pad = _round_up(n_pad, bn)
+
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, k_pad - k)))
+
+    def padw(w):
+        return jnp.pad(w, ((0, k_pad - k), (0, n_pad - n)))
+
+    def padr(r, fill):
+        return jnp.pad(r.reshape(1, n).astype(jnp.float32),
+                       ((0, 0), (0, n_pad - n)), constant_values=fill)
+
+    sk = {"memory_space": pltpu.VMEM} if _HAS_PLTPU and not interpret else {}
+    row = pl.BlockSpec((1, bn), lambda j, i: (0, j), **sk)
+    out = pl.pallas_call(
+        _geglu_kernel,
+        grid=(n_pad // bn, m_pad // bm),
+        in_specs=[
+            pl.BlockSpec((bm, k_pad), lambda j, i: (i, 0), **sk),
+            pl.BlockSpec((k_pad, bn), lambda j, i: (0, j), **sk),
+            pl.BlockSpec((k_pad, bn), lambda j, i: (0, j), **sk),
+            row, row, row, row,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j), **sk),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        interpret=interpret,
+    )(x2, padw(wv), padw(wg), padr(sv, 1.0), padr(sg, 1.0),
+      padr(bv, 0.0), padr(bg, 0.0))
+    return out[:m, :n].reshape(*lead, n)
+
+
+def _geglu_xla(x, w_q, w_scale, bias):
+    """The unfused formulation (ops/quant.py path + split/gelu/mul) — VJP
+    recompute target and test oracle."""
+    from stableanimator_tpu.ops.quant import int8_matmul
+
+    out = int8_matmul(x, w_q, w_scale)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    value, gate = jnp.split(out, 2, axis=-1)
+    return value * jax.nn.gelu(gate, approximate=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _int8_geglu_core(x, w_q, w_scale, bias, interpret):
+    return _geglu_fwd_impl(x, w_q, w_scale, bias, interpret)
+
+
+def _geglu_core_fwd(x, w_q, w_scale, bias, interpret):
+    return (_geglu_fwd_impl(x, w_q, w_scale, bias, interpret),
+            (x, w_q, w_scale, bias))
+
+
+def _geglu_core_bwd(interpret, res, g):
+    x, w_q, w_scale, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda a, wq, ws: _geglu_xla(a, wq, ws, None),
+                         x, w_q, w_scale)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(_geglu_xla, x, w_q, w_scale, bias)
+    return vjp(g)
+
+
+_int8_geglu_core.defvjp(_geglu_core_fwd, _geglu_core_bwd)
+
+
+def int8_geglu_pallas(x, w_q, w_scale, bias=None, *, interpret: bool = False):
+    """Fused W8A8 GEGLU: (x @ Wv + bv) * gelu(x @ Wg + bg), with
+    [Wv | Wg] = w_q [K, 2N] and per-channel scales/bias laid out the same
+    way (value half first, models/layers.py::GEGLU split order)."""
+    return _int8_geglu_core(x, w_q, w_scale, bias, interpret)

@@ -76,3 +76,19 @@ def test_int8_w8a8_lowers_on_v5e(m, k, n):
     ws = jax.ShapeDtypeStruct((n,), jnp.float32)
     _compile(lambda x, wq, ws: int8_matmul_pallas(x, wq, ws),
              (x, wq, ws), mesh)
+
+
+@pytest.mark.parametrize("m,k,n2", [
+    (32 * 4096, 320, 2560),    # L0 GEGLU
+    (32 * 256, 1280, 10240),   # L2/L3 GEGLU
+])
+def test_int8_geglu_lowers_on_v5e(m, k, n2):
+    from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
+
+    mesh = _topology_mesh()
+    x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
+    wq = jax.ShapeDtypeStruct((k, n2), jnp.int8)
+    ws = jax.ShapeDtypeStruct((n2,), jnp.float32)
+    b = jax.ShapeDtypeStruct((n2,), jnp.float32)
+    _compile(lambda x, wq, ws, b: int8_geglu_pallas(x, wq, ws, b),
+             (x, wq, ws, b), mesh)

@@ -450,6 +450,67 @@ class TestInt8PallasKernel:
         np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("m,k,n2", [(64, 320, 2560), (33, 640, 5120)])
+    def test_geglu_fused_matches_unfused(self, m, k, n2):
+        """Fused GEGLU kernel vs the unfused int8 path. The fused kernel
+        keeps bias+gelu+mul in fp32 where the unfused path rounds the
+        projection to the IO dtype first, so parity is to a few output
+        ulps, not bit-exact."""
+        from stableanimator_tpu.ops.quant import quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import (
+            _geglu_xla, int8_geglu_pallas)
+
+        x, _, _ = self._boundary_free_x(m, k, 30, jnp.bfloat16)
+        w = jnp.asarray(_rand(k, n2, seed=31) * 0.05)
+        b = jnp.asarray(_rand(n2, seed=32) * 0.1)
+        wq, ws = quantize_weight(w)
+        ref = np.asarray(_geglu_xla(x, wq, ws, b), np.float32)
+        out = np.asarray(int8_geglu_pallas(x, wq, ws, b, interpret=True),
+                         np.float32)
+        assert out.shape == (m, n2 // 2)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, rtol=2.0 ** -6,
+                                   atol=2.0 ** -6 * scale)
+
+    def test_geglu_no_bias_and_grads(self):
+        from stableanimator_tpu.ops.quant import quantize_weight
+        from stableanimator_tpu.ops.quant_pallas import (
+            _geglu_xla, int8_geglu_pallas)
+
+        x = jnp.asarray(_rand(16, 128, seed=33))
+        w = jnp.asarray(_rand(128, 256, seed=34) * 0.05)
+        wq, ws = quantize_weight(w)
+        out = np.asarray(int8_geglu_pallas(x, wq, ws, None, interpret=True))
+        ref = np.asarray(_geglu_xla(x, wq, ws, None))
+        np.testing.assert_allclose(out, ref, rtol=1e-4,
+                                   atol=1e-4 * np.abs(ref).max())
+        g_pl = jax.grad(lambda a: jnp.sum(
+            int8_geglu_pallas(a, wq, ws, None, interpret=True) ** 2))(x)
+        g_ref = jax.grad(lambda a: jnp.sum(_geglu_xla(a, wq, ws, None) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_geglu_module_tree_and_quant_xla_parity(self):
+        """GEGLU(quant=True) must keep the proj/{kernel,bias} tree AND its
+        XLA-path output must be unchanged by the int8_geglu refactor
+        (projection -> bias -> split -> exact gelu, in that order)."""
+        from stableanimator_tpu.models.layers import GEGLU
+        from stableanimator_tpu.ops.quant import int8_dense
+
+        x = jnp.asarray(_rand(4, 16, 32, seed=35))
+        q = GEGLU(64, quant=True)
+        f = GEGLU(64, quant=False)
+        pq = q.init(jax.random.PRNGKey(0), x)
+        pf = f.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(pq)
+                == jax.tree_util.tree_structure(pf))
+        out = np.asarray(q.apply(pf, x))
+        k, b = pf["params"]["proj"]["kernel"], pf["params"]["proj"]["bias"]
+        proj = int8_dense(x, k, b)
+        v, g = jnp.split(proj, 2, axis=-1)
+        want = np.asarray(v * jax.nn.gelu(g, approximate=False))
+        np.testing.assert_array_equal(out, want)
+
     def test_env_gate_and_mesh_block(self, monkeypatch):
         from stableanimator_tpu.ops import gate
         from stableanimator_tpu.ops.quant import _use_pallas_int8
