@@ -16,13 +16,16 @@ import jax
 
 def letterbox(img: np.ndarray, input_size=(640, 640)):
     """Resize keeping aspect ratio, pad with 114 (reference onnxdet.py:80-96).
-    Returns (CHW float32 image, ratio)."""
+    Returns (CHW uint8 image, ratio) — the fp32 cast happens ON DEVICE
+    inside the detector's jitted graph, so host->device traffic is 1 byte
+    per pixel, not 4 (YOLOX consumes raw 0-255 pixel values; the cast is
+    value-exact)."""
     padded = np.full((input_size[0], input_size[1], 3), 114, dtype=np.uint8)
     r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
     resized = cv2.resize(img, (int(img.shape[1] * r), int(img.shape[0] * r)),
                          interpolation=cv2.INTER_LINEAR).astype(np.uint8)
     padded[: int(img.shape[0] * r), : int(img.shape[1] * r)] = resized
-    return padded.transpose(2, 0, 1).astype(np.float32), r
+    return padded.transpose(2, 0, 1), r
 
 
 def decode_outputs(outputs: np.ndarray, img_size=(640, 640)) -> np.ndarray:
@@ -95,10 +98,15 @@ class PersonDetector:
     frame."""
 
     def __init__(self, onnx_path: str, input_size=(640, 640)):
+        import jax.numpy as jnp
+
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
         self.input_size = input_size
-        self._fn = load_onnx_function(onnx_path).jitted()
+        # uint8 in, fp32 cast on device: 1/4 the host->device bytes
+        # (YOLOX consumes raw 0-255 pixels; cast is value-exact)
+        self._fn = load_onnx_function(onnx_path).jitted(
+            pre=lambda x: x.astype(jnp.float32))
 
     def _postprocess(self, raw_one: np.ndarray, ratio: float,
                      nms_thr: float, score_thr: float,
@@ -147,7 +155,7 @@ class PersonDetector:
             pad = _pad_pow2(n) - n
             if pad:
                 batch = np.concatenate(
-                    [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
             raw = np.asarray(self._fn(batch)[0])[:n]
             out.extend(self._postprocess(raw[i], prepped[i][1],
                                          nms_thr, score_thr, final_thr)

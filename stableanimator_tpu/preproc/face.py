@@ -77,10 +77,15 @@ class FaceDetector:
                  det_thresh: float = 0.5, nms_thresh: float = 0.4):
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
+        import jax.numpy as jnp
+
         self.input_size = input_size
         self.det_thresh = det_thresh
         self.nms_thresh = nms_thresh
-        self._fn = load_onnx_function(onnx_path).jitted()
+        # uint8 in, (x-127.5)/128 normalise on device (1/4 the transfer;
+        # the face-mask CLI runs this per frame over whole datasets)
+        self._fn = load_onnx_function(onnx_path).jitted(
+            pre=lambda x: (x.astype(jnp.float32) - 127.5) / 128.0)
         self.strides = (8, 16, 32)
         self.num_anchors = 2
 
@@ -93,7 +98,7 @@ class FaceDetector:
         resized = cv2.resize(image_rgb, (nw, nh))
         det_img = np.zeros((in_h, in_w, 3), np.uint8)
         det_img[:nh, :nw] = resized
-        blob = ((det_img.astype(np.float32) - 127.5) / 128.0).transpose(2, 0, 1)
+        blob = det_img.transpose(2, 0, 1)  # CHW uint8; normalise on device
 
         outputs = [np.asarray(o) for o in self._fn(blob[None])]
         fmc = len(self.strides)

@@ -274,12 +274,24 @@ class OnnxFunction:
                     env[name] = val
         return [env[o] for o in self.graph.outputs]
 
-    def jitted(self):
+    def jitted(self, pre=None):
         """jit-compiled callable with weights passed as device-resident
-        ARGUMENTS (transferred once) instead of trace-time constants."""
+        ARGUMENTS (transferred once) instead of trace-time constants.
+
+        pre: optional input-preprocessing fn applied INSIDE the jit (e.g.
+        uint8 -> fp32 cast + normalisation), so callers can ship compact
+        dtypes across the host->device boundary; returns one array or a
+        tuple matching the graph inputs."""
         import jax as _jax
 
-        fn = _jax.jit(lambda weights, *inputs: self(*inputs, _weights=weights))
+        def call(weights, *inputs):
+            if pre is not None:
+                inputs = pre(*inputs)
+                if not isinstance(inputs, tuple):
+                    inputs = (inputs,)
+            return self(*inputs, _weights=weights)
+
+        fn = _jax.jit(call)
         state = {}
 
         def wrapper(*inputs):

@@ -91,8 +91,17 @@ class PoseEstimator:
     def __init__(self, onnx_path: str, input_size: Tuple[int, int] = (192, 256)):
         from stableanimator_tpu.preproc.onnx_to_jax import load_onnx_function
 
+        import jax.numpy as jnp
+
         self.input_size = input_size  # (w, h)
-        self._fn = load_onnx_function(onnx_path).jitted()
+        # uint8 crops in; the ImageNet normalise runs ON DEVICE in fp32
+        # (1/4 the host->device bytes; vs the old host-side fp64
+        # normalise the inputs differ by ~1e-7 relative — noise far below
+        # the SimCC decode's argmax granularity)
+        mean = jnp.asarray(_MEAN.reshape(3, 1, 1), jnp.float32)
+        std = jnp.asarray(_STD.reshape(3, 1, 1), jnp.float32)
+        self._fn = load_onnx_function(onnx_path).jitted(
+            pre=lambda x: (x.astype(jnp.float32) - mean) / std)
 
     def _prep(self, image_rgb: np.ndarray, bboxes: np.ndarray):
         """Host-side geometry: affine person crops + ImageNet normalise."""
@@ -103,7 +112,9 @@ class PoseEstimator:
         for bbox in bboxes:
             center, scale = bbox_xyxy2cs(np.asarray(bbox, np.float64), padding=1.25)
             crop, scale = top_down_affine(self.input_size, scale, center, image_rgb)
-            crops.append(((crop - _MEAN) / _STD).transpose(2, 0, 1).astype(np.float32))
+            # CHW uint8; normalisation happens on device (see __init__)
+            crops.append(np.ascontiguousarray(
+                crop.astype(np.uint8).transpose(2, 0, 1)))
             centers.append(center)
             scales.append(scale)
         return crops, centers, scales
@@ -132,7 +143,7 @@ class PoseEstimator:
         pad = _pad_pow2(n, floor=4) - n
         if pad:
             batch = np.concatenate(
-                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         simcc_x, simcc_y = self._fn(batch)
         return np.asarray(simcc_x)[:n], np.asarray(simcc_y)[:n]
 
