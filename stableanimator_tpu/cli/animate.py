@@ -137,8 +137,9 @@ def main():
         export_to_mp4,
         frames_to_uint8,
         load_images_from_folder,
-        pil_to_unit_array,
+        pil_to_u8_array,
         poses_to_array,
+        poses_to_u8_array,
         save_frames_as_png,
     )
     from PIL import Image
@@ -206,7 +207,9 @@ def main():
         decode_chunk_size=args.decode_chunk_size,
     )
 
-    pose_arr = poses_to_array(pose_images)
+    # uint8 to the device (generate converts on-chip, 1/4 the transfer);
+    # the fp32 [-1,1] copy only feeds the host-side face-box extraction
+    pose_u8 = poses_to_u8_array(pose_images)
 
     face_opt = None
     if args.face_optimize_steps > 0:
@@ -226,7 +229,8 @@ def main():
                                   start_step=args.face_opt_start_step)
             face_opt = make_face_optimizer(
                 models, params, focfg, load_onnx_function(rec_path), emb,
-                pose_arr, args.height // 8, args.width // 8,
+                poses_to_array(pose_images), args.height // 8,
+                args.width // 8,
                 channel_order=args.face_channel_order)
             print(f"HJB face optimization: {focfg.steps} steps/denoise-step, "
                   f"lr={focfg.lr}, from denoise step {focfg.start_step}")
@@ -234,14 +238,14 @@ def main():
     t0 = time.time()
     frames = generate(
         models, params,
-        jnp.asarray(pil_to_unit_array(ref_pil_sized)),
-        jnp.asarray(pose_arr),
+        jnp.asarray(pil_to_u8_array(ref_pil_sized)),
+        jnp.asarray(pose_u8),
         jnp.asarray(emb[None].astype(np.float32)),
         cfg, rng=jax.random.PRNGKey(args.seed),
         face_opt=face_opt,
         # CLIP conditions on the original-resolution image (reference
         # inference_pipeline_animation.py:520)
-        clip_image=jnp.asarray(pil_to_unit_array(ref_pil)))
+        clip_image=jnp.asarray(pil_to_u8_array(ref_pil)))
     frames = jax.block_until_ready(frames)
     print(f"generated {len(pose_images)} frames in {time.time() - t0:.1f}s")
 

@@ -426,9 +426,30 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
 # full generation
 # ---------------------------------------------------------------------------
 
+def _u8_to_unit(x):
+    """uint8 pixels -> [0,1] fp32 ON DEVICE (dtype is static at trace
+    time). Callers may ship uint8 across the host->device boundary — 1/4
+    the transfer bytes. XLA compiles the division as multiply-by-
+    reciprocal, so values sit within 1 ulp of utils/image.py's host-side
+    conversion (asserted to output-noise level in test_pipeline)."""
+    if x is not None and x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+def _u8_to_sym(x):
+    """uint8 pixels -> [-1,1] fp32 on device (poses_to_array convention)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
 def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
                    cfg: PipelineConfig, rng, face_opt=None, mesh=None,
                    clip_image=None):
+    ref_image = _u8_to_unit(ref_image)
+    clip_image = _u8_to_unit(clip_image)
+    pose_pixels = _u8_to_sym(pose_pixels)
     f = pose_pixels.shape[0]
     rngs = jax.random.split(rng, 3)
 
@@ -464,9 +485,11 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     """Generate an animation.
 
     ref_image:      [1, H, W, 3] float32 in [0, 1] (generation resolution)
+                    — or uint8 0-255; converted on device (1/4 transfer)
     clip_image:     optional original-resolution [1, H0, W0, 3] for the
-                    CLIP branch (the reference's behaviour)
-    pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings)
+                    CLIP branch (the reference's behaviour); fp32 or uint8
+    pose_pixels:    [F, H, W, 3] float32 in [-1, 1] (pose renderings) —
+                    or uint8 0-255, mapped to [-1, 1] on device
     face_embedding: [1, id_dim] ArcFace embedding of the reference face
     face_opt:       optional FaceOptimizer (HJB identity refinement)
     mesh:           optional Mesh for multi-chip (data x frame) inference;

@@ -36,6 +36,19 @@ def poses_to_array(images: List[Image.Image]) -> np.ndarray:
     return arr / 127.5 - 1.0
 
 
+def pil_to_u8_array(img: Image.Image) -> np.ndarray:
+    """PIL -> [1, H, W, 3] uint8. pipeline.generate converts on device —
+    ship this across the host->device boundary instead of
+    pil_to_unit_array's fp32 (4x the bytes, same values)."""
+    return np.asarray(img, np.uint8)[None]
+
+
+def poses_to_u8_array(images: List[Image.Image]) -> np.ndarray:
+    """PIL pose frames -> [F, H, W, 3] uint8 (device-side [-1,1] mapping
+    in pipeline.generate; same values as poses_to_array)."""
+    return np.stack([np.asarray(im, np.uint8) for im in images])
+
+
 def frames_to_uint8(frames: np.ndarray) -> List[np.ndarray]:
     """[F, H, W, 3] float in [0,1] -> list of uint8 HWC arrays."""
     return [np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8) for f in np.asarray(frames)]

@@ -143,6 +143,29 @@ def test_generate_end_to_end(tiny_setup):
     assert float(frames.min()) >= 0.0 and float(frames.max()) <= 1.0
 
 
+def test_generate_uint8_inputs_match_fp32(tiny_setup):
+    """uint8 ref/pose/clip inputs (converted on device) track the fp32
+    convention to input-ulp level: XLA compiles the /255 and /127.5 as
+    multiply-by-reciprocal (1 ulp off numpy's true division), so outputs
+    agree to noise, not bits."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(3)
+    ref_u8 = rng.integers(0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+    pose_u8 = rng.integers(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    cfg = PipelineConfig(num_frames=4, tile_size=4, tile_overlap=1,
+                         num_inference_steps=2, decode_chunk_size=2)
+    f32 = generate(models, params,
+                   jnp.asarray(ref_u8.astype(np.float32) / 255.0),
+                   jnp.asarray(pose_u8.astype(np.float32) / 127.5 - 1.0),
+                   face, cfg, rng=jax.random.PRNGKey(9))
+    u8 = generate(models, params, jnp.asarray(ref_u8), jnp.asarray(pose_u8),
+                  face, cfg, rng=jax.random.PRNGKey(9))
+    a, b = np.asarray(u8), np.asarray(f32)
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
+    assert np.abs(a - b).mean() < 1e-4
+
+
 def test_generate_longer_than_tile(tiny_setup):
     models, params = tiny_setup
     rng = np.random.default_rng(2)
