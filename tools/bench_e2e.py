@@ -192,8 +192,10 @@ def main():
             detected = wb.video_poses(list(driving))
             pose_maps = np.stack(
                 [draw_pose(p, args.height, args.width) for p in detected])
-        pose_arr = (np.concatenate([ref_pose[None], pose_maps])[:args.frames]
-                    .astype(np.float32) / 127.5 - 1.0)
+        # uint8 across the boundary; generate converts on device (50MB ->
+        # 12.5MB of tunnel traffic at 512^2 x 16f)
+        pose_arr = np.concatenate(
+            [ref_pose[None], pose_maps])[:args.frames].astype(np.uint8)
         pose_arr = np.transpose(pose_arr, (0, 2, 3, 1))
         pose_s = time.time() - t
 
@@ -208,7 +210,7 @@ def main():
         t = time.time()
         out = generate(
             models, params,
-            jnp.asarray(reference[None].astype(np.float32) / 255.0),
+            jnp.asarray(reference[None].astype(np.uint8)),
             jnp.asarray(pose_arr), jnp.asarray(emb[None]),
             cfg, rng=jax.random.PRNGKey(seed))
         # pure transfer = the only true sync on the remote platform
