@@ -94,15 +94,13 @@ def int8_geglu(x, kernel, bias=None):
     [W_value | W_gate]; returns (xWv + bv) * gelu_exact(xWg + bg), shape
     [..., N] (models/layers.py::GEGLU split order). On the Pallas path the
     whole epilogue is fused into the matmul tiles."""
-    import jax
-
     wq, ws = quantize_weight(kernel)
     if _use_pallas_int8():
         from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
 
         return int8_geglu_pallas(x, wq, ws, bias)
-    out = int8_matmul(x, wq, ws)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    value, gate = jnp.split(out, 2, axis=-1)
-    return value * jax.nn.gelu(gate, approximate=False)
+    # single source of truth for the unfused formulation — it is also the
+    # fused kernel's VJP recompute target and test oracle
+    from stableanimator_tpu.ops.quant_pallas import _geglu_xla
+
+    return _geglu_xla(x, wq, ws, bias)

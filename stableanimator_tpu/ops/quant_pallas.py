@@ -88,6 +88,14 @@ def _pick_blocks(m: int, k_pad: int, n_pad: int, x_bytes: int,
             bm = max(32, bm // 2 // 32 * 32)
         else:
             bn = max(128, bn // 2 // 128 * 128)
+    # shrink each block to balance its panels: round_up(2560, bn=2048)
+    # would compute a 4096-wide output (+60% MXU work and HBM traffic);
+    # two 1280 panels cover it exactly. Shrinking never violates the
+    # budget.
+    n_panels = -(-n_pad // bn)
+    bn = min(bn, _round_up(-(-n_pad // n_panels), 128))
+    m_rows = -(-m // bm)
+    bm = min(bm, _round_up(-(-m // m_rows), 32))
     return bm, bn
 
 

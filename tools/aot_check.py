@@ -108,7 +108,6 @@ def main():
                     (q, q, q), mesh)
 
     if "int8" in what:
-        from stableanimator_tpu.ops.quant import quantize_weight
         from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
 
         # transformer FF/GEGLU/projection shapes: (tokens, K, N) per UNet
@@ -128,6 +127,18 @@ def main():
             ok &= check(f"int8_w8a8 m={m} k={k} n={n}",
                         lambda x, wq, ws: int8_matmul_pallas(x, wq, ws),
                         (x, wq, ws), mesh)
+
+        from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
+
+        for m, k, n2 in [(32 * 4096, 320, 2560), (32 * 1024, 640, 5120),
+                         (32 * 256, 1280, 10240)]:
+            x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
+            wq = jax.ShapeDtypeStruct((k, n2), jnp.int8)
+            ws = jax.ShapeDtypeStruct((n2,), jnp.float32)
+            b = jax.ShapeDtypeStruct((n2,), jnp.float32)
+            ok &= check(f"int8_geglu m={m} k={k} n2={n2}",
+                        lambda x, wq, ws, b: int8_geglu_pallas(x, wq, ws, b),
+                        (x, wq, ws, b), mesh)
 
     sys.exit(0 if ok else 1)
 

@@ -32,13 +32,23 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# every config pins ALL three switches: a stray exported SA_* from manual
+# testing must not contaminate the rows that don't mention it
+_SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS")
+
+
+def _cfg(**on):
+    env = {k: "0" for k in _SWITCHES}
+    env.update({k: "1" for k in on})
+    return env
+
+
 CONFIGS = {
-    "base": {},
-    "temporal": {"SA_TPU_TEMPORAL_ATTN": "1"},
-    "int8": {"SA_BENCH_QUANT": "1"},
-    "int8_pallas": {"SA_BENCH_QUANT": "1", "SA_INT8_PALLAS": "1"},
-    "all": {"SA_TPU_TEMPORAL_ATTN": "1", "SA_BENCH_QUANT": "1",
-            "SA_INT8_PALLAS": "1"},
+    "base": _cfg(),
+    "temporal": _cfg(SA_TPU_TEMPORAL_ATTN=1),
+    "int8": _cfg(SA_BENCH_QUANT=1),
+    "int8_pallas": _cfg(SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
+    "all": _cfg(SA_TPU_TEMPORAL_ATTN=1, SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
 }
 
 

@@ -73,8 +73,8 @@ def conv_im2col(x, w):
     cols = [xp[:, dy:dy + h, dx:dx + wd, :]
             for dy in range(3) for dx in range(3)]
     patches = jnp.concatenate(cols, axis=-1)            # [N,H,W,9*Cin]
-    return patches.reshape(n * h * wd, 9 * cin) @ w.reshape(9 * cin, cout) \
-        .astype(x.dtype)
+    out = patches.reshape(n * h * wd, 9 * cin) @ w.reshape(9 * cin, cout)
+    return out.reshape(n, h, wd, cout).astype(x.dtype)
 
 
 def conv_shift9(x, w):
@@ -130,9 +130,14 @@ def main():
                 def run(x, w, di):
                     def body(c, _):
                         o = impl(c, w)
-                        # keep the carry shape: project back when Cout!=Cin
-                        if o.shape[-1] != c.shape[-1]:
-                            o = o[..., :c.shape[-1]]
+                        # keep the carry shape across Cout != Cin: slice
+                        # down or tile up (both up-path shapes are 2:1)
+                        ci = c.shape[-1]
+                        if o.shape[-1] > ci:
+                            o = o[..., :ci]
+                        elif o.shape[-1] < ci:
+                            o = jnp.concatenate([o] * (ci // o.shape[-1]),
+                                                axis=-1)
                         return (o + di).astype(c.dtype), ()
 
                     return jax.lax.scan(body, x, None, length=ITERS)[0]
