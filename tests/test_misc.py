@@ -175,3 +175,29 @@ def test_metrics_logger_jsonl(tmp_path):
     noop = MetricsLogger(str(tmp_path), report_to="none")
     noop.log(1, {"loss": 1.0})
     noop.close()
+
+
+@pytest.mark.slow
+def test_bench_micro_smoke():
+    """The driver runs bench.py once per round on the real chip; its control
+    flow (device param fill -> warmup attempts -> timed runs -> the single
+    JSON line) must be exercised in CI so a flow regression can't burn the
+    round's one shot. BENCH_MICRO=1 runs the identical code path with
+    depth-1 micro models at 64^2 x 4f x 2 steps on CPU."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(BENCH_MICRO="1", JAX_PLATFORMS="cpu", BENCH_BUDGET_S="560",
+               XLA_FLAGS="--xla_backend_optimization_level=0")
+    proc = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                          env=env, cwd=root, capture_output=True, text=True,
+                          timeout=620)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "frames_per_sec_micro_smoke"
+    assert rec["detail"]["ok"] and rec["value"] > 0
+    assert rec["detail"]["all_runs_s"]
