@@ -59,49 +59,87 @@ def parse_xplane(logdir, top=30):
     with open(sorted(paths)[-1], "rb") as f:
         xspace.ParseFromString(f.read())
 
+    # The TPU device plane has three lines: 'XLA Modules' (whole-executable
+    # spans), 'XLA Ops' (the compute timeline — events NEST: a fusion span
+    # contains its constituent op spans), and 'Async XLA Ops' (DMA spans
+    # that OVERLAP compute; summing them inflates copy time ~4x and is how
+    # an earlier version of this tool mis-read 54% "copy/transpose" out of
+    # a 10.1s run whose union cover was 100% accounted by compute). Here:
+    # ONLY the 'XLA Ops' line, with SELF time via a nesting sweep, so
+    # per-category shares sum to the true device-busy total.
     by_name = collections.Counter()
-    total = 0
+    total = 0.0
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+        if "TPU" not in plane.name:
             continue
         ev_names = {k: v for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "sparse" in lname:
+            if line.name != "XLA Ops":
                 continue
-            if not ("xla op" in lname or "ops" in lname or "tensorflow op" in lname
-                    or lname.startswith("xla")):
-                continue
+            evs = []
             for ev in line.events:
                 md = ev_names.get(ev.metadata_id)
                 name = md.name if md else str(ev.metadata_id)
-                n = name.lstrip("%").lower()
-                # container events (the scan's while op, jit module entries)
-                # overlap their children in the ops line; counting them
-                # would double every leaf op
-                if n.startswith(("jit_", "while", "condition", "body")):
-                    continue
-                dur = ev.duration_ps / 1e9  # ms
-                by_name[name] += dur
-                total += dur
-        if total:
+                evs.append((ev.offset_ps, ev.offset_ps + ev.duration_ps, name))
+            # sort by start asc, end desc => parents precede their children
+            evs.sort(key=lambda t: (t[0], -t[1]))
+            stack = []  # [end_ps, name, dur_ps, child_dur_ps]
+
+            def close(frame):
+                _, nm, dur, child = frame
+                by_name[nm] += max((dur - child) / 1e9, 0.0)
+                if stack:
+                    stack[-1][3] += dur
+
+            for start, end, name in evs:
+                while stack and stack[-1][0] <= start:
+                    close(stack.pop())
+                stack.append([end, name, end - start, 0])
+            while stack:
+                close(stack.pop())
+        if by_name:
+            total = sum(by_name.values())
             break  # first device plane with op events
 
+    def _op_kind(name):
+        """Parse the HLO mnemonic out of '<lhs> = <type> <opname>(...)'.
+        Substring checks over the whole text are wrong: operand NAMES (e.g.
+        '%fusion.18477' feeding a custom-call) would classify the consumer
+        as a fusion."""
+        if " = " not in name:
+            return name.lstrip("%").rstrip("0123456789.").lower()
+        lhs, rhs = name.split(" = ", 1)
+        if rhs.startswith("("):  # tuple result type: scan to its close
+            depth = 0
+            for i, ch in enumerate(rhs):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0:
+                    rhs = rhs[i + 1:].lstrip()
+                    break
+        else:  # single shape (no spaces inside), then the mnemonic
+            parts = rhs.split(None, 1)
+            rhs = parts[1] if len(parts) > 1 else parts[0]
+        return lhs.lstrip("%"), rhs.split("(", 1)[0].strip().lower()
+
     def category(name):
-        n = name.lstrip("%").lower()
-        if "fusion" in n:
-            if "conv" in n or "dot" in n:
+        parsed = _op_kind(name)
+        lhs, kind = parsed if isinstance(parsed, tuple) else (parsed, parsed)
+        lhs = lhs.lower()
+        if kind == "fusion":
+            if "conv" in lhs or "dot" in lhs or "gemm" in lhs:
                 return "matmul/conv fusion"
             return "elementwise fusion"
-        if n.startswith("copy") or "transpose" in n:
+        if kind.startswith("copy") or kind in ("transpose", "bitcast",
+                                               "reshape", "dynamic-slice",
+                                               "dynamic-update-slice"):
             return "copy/transpose"
-        if "conv" in n or "dot" in n or "einsum" in n:
+        if kind in ("convolution", "dot") or "conv" in kind:
             return "matmul/conv"
-        if "custom-call" in n or "pallas" in n or "mosaic" in n:
+        if kind == "custom-call":
             return "pallas/custom"
-        if "all-reduce" in n or "all-gather" in n or "collective" in n:
+        if kind.startswith(("all-", "collective", "reduce-scatter")):
             return "collective"
-        if "reduce" in n:
+        if kind.startswith("reduce"):
             return "reduce"
         return "other"
 
