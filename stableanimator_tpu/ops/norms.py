@@ -13,8 +13,24 @@ animation/modules/unet.py and vae.py).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
+
+
+def _use_pallas_norm() -> bool:
+    """Fused Pallas LN/GN kernels (ops/norms_pallas.py) vs the XLA
+    formulation. SA_PALLAS_NORM overrides (1/0). Mesh-sharded traces always
+    use XLA (GSPMD cannot partition Mosaic calls)."""
+    from stableanimator_tpu.ops.gate import pallas_blocked
+
+    if pallas_blocked():
+        return False
+    env = os.environ.get("SA_PALLAS_NORM")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
 
 
 def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
@@ -26,6 +42,15 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     per-group fp32 scalars folded with scale/bias) — this keeps the HBM
     traffic at one read + one write of x instead of fp32 round-trips.
     """
+    if _use_pallas_norm():
+        from stableanimator_tpu.ops import norms_pallas as npl
+
+        if npl.gn_supported(x, num_groups):
+            return npl.group_norm_pallas(x, scale, bias, num_groups, eps)
+    return _group_norm_xla(x, scale, bias, num_groups, eps)
+
+
+def _group_norm_xla(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -52,6 +77,15 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
 def layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis; fp32 statistics, fused affine apply in
     the input dtype (no fp32 copy of x)."""
+    if scale is not None and bias is not None and _use_pallas_norm():
+        from stableanimator_tpu.ops import norms_pallas as npl
+
+        if npl.ln_supported(x):
+            return npl.layer_norm_pallas(x, scale, bias, eps)
+    return _layer_norm_xla(x, scale, bias, eps)
+
+
+def _layer_norm_xla(x, scale, bias, eps: float = 1e-5):
     orig_dtype = x.dtype
     mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
     mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1, keepdims=True)

@@ -590,3 +590,121 @@ class TestTemporalAttentionKernel:
         for a, r in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestPallasNorms:
+    """Fused Pallas LN/GN (ops/norms_pallas.py) vs the XLA formulation in
+    ops/norms.py they must match (interpret mode on CPU). Same fp32-stats /
+    input-dtype-apply rounding order, so tolerances are reduction-order
+    noise only."""
+
+    @pytest.mark.parametrize("rows,c,dtype", [
+        (1024, 320, jnp.bfloat16),    # UNet level-0 LN family
+        (512, 640, jnp.bfloat16),
+        (256, 1280, jnp.float32),
+        (257, 1280, jnp.bfloat16),    # CLIP token count: odd row fallback
+    ])
+    def test_layer_norm_matches_xla(self, rows, c, dtype):
+        from stableanimator_tpu.ops.norms import _layer_norm_xla
+        from stableanimator_tpu.ops.norms_pallas import layer_norm_pallas
+
+        x = jnp.asarray(_rand(rows, c, seed=3) * 2.0, dtype)
+        scale = jnp.asarray(1.0 + 0.1 * _rand(c, seed=4))
+        bias = jnp.asarray(0.1 * _rand(c, seed=5))
+        ref = np.asarray(_layer_norm_xla(x, scale, bias), np.float32)
+        out = np.asarray(layer_norm_pallas(x, scale, bias, 1e-5, True),
+                         np.float32)
+        tol = 2.0 ** -7 if dtype == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
+
+    @pytest.mark.parametrize("n,s,c,g,dtype", [
+        (4, 4096, 320, 32, jnp.bfloat16),   # UNet level-0 resblock GN
+        (2, 1024, 640, 32, jnp.bfloat16),
+        (2, 256, 1280, 32, jnp.float32),
+    ])
+    def test_group_norm_matches_xla(self, n, s, c, g, dtype):
+        from stableanimator_tpu.ops.norms import _group_norm_xla
+        from stableanimator_tpu.ops.norms_pallas import group_norm_pallas
+
+        x = jnp.asarray(_rand(n, s, c, seed=6) * 2.0 + 0.5, dtype)
+        scale = jnp.asarray(1.0 + 0.1 * _rand(c, seed=7))
+        bias = jnp.asarray(0.1 * _rand(c, seed=8))
+        ref = np.asarray(_group_norm_xla(x, scale, bias, g), np.float32)
+        out = np.asarray(group_norm_pallas(x, scale, bias, g, 1e-5, True),
+                         np.float32)
+        tol = 2.0 ** -7 if dtype == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
+
+    def test_group_norm_4d_input(self):
+        """Model call sites pass [N, H, W, C]; the wrapper flattens."""
+        from stableanimator_tpu.ops.norms import _group_norm_xla
+        from stableanimator_tpu.ops.norms_pallas import group_norm_pallas
+
+        x = jnp.asarray(_rand(2, 16, 16, 320, seed=9), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * _rand(320, seed=10))
+        bias = jnp.asarray(0.1 * _rand(320, seed=11))
+        ref = np.asarray(_group_norm_xla(x, scale, bias, 32))
+        out = np.asarray(group_norm_pallas(x, scale, bias, 32, 1e-5, True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_grads_recompute_through_xla(self):
+        """custom_vjp backward == grads of the XLA formulation."""
+        from stableanimator_tpu.ops.norms import (_group_norm_xla,
+                                                  _layer_norm_xla)
+        from stableanimator_tpu.ops.norms_pallas import (group_norm_pallas,
+                                                         layer_norm_pallas)
+
+        x = jnp.asarray(_rand(2, 128, 256, seed=12), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * _rand(256, seed=13))
+        bias = jnp.asarray(0.1 * _rand(256, seed=14))
+
+        def loss_p(x, s, b):
+            return jnp.sum(layer_norm_pallas(x, s, b, 1e-5, True) ** 2)
+
+        def loss_x(x, s, b):
+            return jnp.sum(_layer_norm_xla(x, s, b) ** 2)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=2e-5)
+
+        def gloss_p(x, s, b):
+            return jnp.sum(group_norm_pallas(x, s, b, 32, 1e-5, True) ** 2)
+
+        def gloss_x(x, s, b):
+            return jnp.sum(_group_norm_xla(x, s, b, 32) ** 2)
+
+        gp = jax.grad(gloss_p, argnums=(0, 1, 2))(x, scale, bias)
+        gx = jax.grad(gloss_x, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_dispatch_respects_gate_and_env(self, monkeypatch):
+        from stableanimator_tpu.ops import norms
+        from stableanimator_tpu.ops.gate import block_pallas_kernels
+        from stableanimator_tpu.ops.gate import PALLAS_KERNELS_BLOCKED
+
+        monkeypatch.setenv("SA_PALLAS_NORM", "1")
+        assert norms._use_pallas_norm()
+        tok = block_pallas_kernels()
+        try:
+            assert not norms._use_pallas_norm()
+        finally:
+            PALLAS_KERNELS_BLOCKED.reset(tok)
+        monkeypatch.setenv("SA_PALLAS_NORM", "0")
+        assert not norms._use_pallas_norm()
+
+    def test_supported_predicates(self):
+        from stableanimator_tpu.ops.norms_pallas import (gn_supported,
+                                                         ln_supported)
+
+        x = jnp.zeros((2, 4096, 320), jnp.bfloat16)
+        assert gn_supported(x, 32) and ln_supported(x)
+        # VAE-decode-scale slab exceeds the VMEM budget -> XLA path
+        assert not gn_supported(jnp.zeros((1, 512 * 512, 512), jnp.bfloat16), 32)
+        # indivisible groups / tiny channel counts -> XLA path
+        assert not gn_supported(jnp.zeros((2, 64, 48), jnp.bfloat16), 32)
+        assert not ln_supported(jnp.zeros((128, 64), jnp.bfloat16))

@@ -58,7 +58,7 @@ def check(name, fn, args, mesh):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="temporal,flash,int8")
+    ap.add_argument("--what", default="temporal,flash,int8,norms")
     args = ap.parse_args()
     what = set(args.what.split(","))
     mesh = _mesh()
@@ -139,6 +139,60 @@ def main():
             ok &= check(f"int8_geglu m={m} k={k} n2={n2}",
                         lambda x, wq, ws, b: int8_geglu_pallas(x, wq, ws, b),
                         (x, wq, ws, b), mesh)
+
+    if "norms" in what:
+        from stableanimator_tpu.ops.norms_pallas import (group_norm_pallas,
+                                                         layer_norm_pallas)
+
+        # LN row sets per UNet level at 512^2 / 576x1024 (CFG batch 2 x 16
+        # frames folded) + the CLIP odd-row fallback
+        for rows, c in [(32 * 4096, 320), (32 * 1024, 640), (32 * 256, 1280),
+                        (32 * 9216, 320), (2 * 4096 * 16, 320), (257, 1280)]:
+            x = jax.ShapeDtypeStruct((rows, c), jnp.bfloat16)
+            s = jax.ShapeDtypeStruct((c,), jnp.float32)
+            ok &= check(f"layer_norm rows={rows} c={c}",
+                        lambda x, s, b: layer_norm_pallas(x, s, b),
+                        (x, s, s), mesh)
+
+        # GN slabs per UNet level (spatial resblocks see [N, H*W, C]);
+        # temporal resblocks see the same slabs with N = frames; up-block
+        # resblocks see concat-skip channel counts 960/1920/2560 (960 is
+        # NOT lane-aligned — keep it covered). Shape set = the union traced
+        # out of the real 512^2 x 16f generate graph. Slabs above
+        # _GN_SLAB_LIMIT (576x1024 level 0 = 5.9 MB, VAE decode) exceed
+        # VMEM with Mosaic's double buffering — gn_supported must route
+        # them to XLA, asserted below.
+        for n, sp, c in [(32, 4096, 320), (32, 1024, 640), (32, 256, 1280),
+                         (32, 64, 1280), (32, 1024, 960), (32, 256, 1920),
+                         (32, 256, 2560), (32, 64, 2560), (1, 128, 1280),
+                         (2, 4096, 320)]:
+            x = jax.ShapeDtypeStruct((n, sp, c), jnp.bfloat16)
+            s = jax.ShapeDtypeStruct((c,), jnp.float32)
+            ok &= check(f"group_norm n={n} s={sp} c={c}",
+                        lambda x, s, b: group_norm_pallas(x, s, b, 32),
+                        (x, s, s), mesh)
+
+        from stableanimator_tpu.ops.norms_pallas import gn_supported
+
+        # shape/dtype-only predicate: probe with ShapeDtypeStruct so this
+        # tool never touches the (possibly wedged) axon backend eagerly
+        for n, sp, c in [(32, 9216, 320), (16, 4096, 512)]:
+            flag = not gn_supported(
+                jax.ShapeDtypeStruct((n, sp, c), jnp.bfloat16), 32)
+            print(("OK  " if flag else "FAIL")
+                  + f" gn_supported rejects n={n} s={sp} c={c}")
+            ok &= flag
+
+        # training path: custom-VJP backward (recomputes the XLA formula)
+        x = jax.ShapeDtypeStruct((4, 1024, 320), jnp.bfloat16)
+        s = jax.ShapeDtypeStruct((320,), jnp.float32)
+
+        def _gn_loss(x, s, b):
+            return jnp.sum(group_norm_pallas(x, s, b, 32).astype(jnp.float32))
+
+        ok &= check("group_norm_bwd",
+                    lambda x, s, b: jax.grad(_gn_loss, argnums=(0, 1, 2))(x, s, b),
+                    (x, s, s), mesh)
 
     sys.exit(0 if ok else 1)
 

@@ -32,9 +32,10 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# every config pins ALL three switches: a stray exported SA_* from manual
+# every config pins ALL switches: a stray exported SA_* from manual
 # testing must not contaminate the rows that don't mention it
-_SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS")
+_SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS",
+             "SA_PALLAS_NORM")
 
 
 def _cfg(**on):
@@ -48,6 +49,7 @@ CONFIGS = {
     "temporal": _cfg(SA_TPU_TEMPORAL_ATTN=1),
     "int8": _cfg(SA_BENCH_QUANT=1),
     "int8_pallas": _cfg(SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
+    "norms": _cfg(SA_PALLAS_NORM=1),
     "all": _cfg(SA_TPU_TEMPORAL_ATTN=1, SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
 }
 
@@ -85,14 +87,23 @@ def main():
     bad = [n for n in names if n not in CONFIGS]
     if bad:
         sys.exit(f"unknown config(s) {bad}; choose from {list(CONFIGS)}")
+    # subset runs merge into the existing matrix (keyed by config name)
+    # instead of clobbering previously captured rows
+    out_path = os.path.join(ROOT, "AB_RESULTS.json")
     results = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = [r for r in json.load(f)
+                           if r.get("config") not in names]
+        except Exception:
+            results = []
     for name in names:
         try:
             results.append(run_one(name, CONFIGS[name]))
         except subprocess.TimeoutExpired:
             results.append({"config": name, "env": CONFIGS[name],
                             "rc": -1, "error": "subprocess timeout"})
-        out_path = os.path.join(ROOT, "AB_RESULTS.json")
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
