@@ -19,18 +19,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _use_pallas_norm() -> bool:
+def _pallas_norm_mode() -> str:
     """Fused Pallas LN/GN kernels (ops/norms_pallas.py) vs the XLA
-    formulation. SA_PALLAS_NORM overrides (1/0). Mesh-sharded traces always
-    use XLA (GSPMD cannot partition Mosaic calls)."""
+    formulation. SA_PALLAS_NORM: '1'/'both' = both kernel families,
+    'ln' / 'gn' = only that family (bisection + partial-win switch),
+    '0'/unset = XLA. Mesh-sharded traces always use XLA (GSPMD cannot
+    partition Mosaic calls)."""
     from stableanimator_tpu.ops.gate import pallas_blocked
 
     if pallas_blocked():
-        return False
+        return "off"
     env = os.environ.get("SA_PALLAS_NORM")
-    if env is not None:
-        return env not in ("0", "false", "")
-    return False
+    if env is None or env in ("0", "false", ""):
+        return "off"
+    if env in ("ln", "gn"):
+        return env
+    return "both"
+
+
+def _use_pallas_norm(which: str) -> bool:
+    mode = _pallas_norm_mode()
+    return mode == "both" or mode == which
 
 
 def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
@@ -42,7 +51,7 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     per-group fp32 scalars folded with scale/bias) — this keeps the HBM
     traffic at one read + one write of x instead of fp32 round-trips.
     """
-    if _use_pallas_norm():
+    if _use_pallas_norm("gn"):
         from stableanimator_tpu.ops import norms_pallas as npl
 
         if npl.gn_supported(x, num_groups):
@@ -77,7 +86,7 @@ def _group_norm_xla(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
 def layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis; fp32 statistics, fused affine apply in
     the input dtype (no fp32 copy of x)."""
-    if scale is not None and bias is not None and _use_pallas_norm():
+    if scale is not None and bias is not None and _use_pallas_norm("ln"):
         from stableanimator_tpu.ops import norms_pallas as npl
 
         if npl.ln_supported(x):

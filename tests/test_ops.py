@@ -688,14 +688,20 @@ class TestPallasNorms:
         from stableanimator_tpu.ops.gate import PALLAS_KERNELS_BLOCKED
 
         monkeypatch.setenv("SA_PALLAS_NORM", "1")
-        assert norms._use_pallas_norm()
+        assert norms._use_pallas_norm("ln") and norms._use_pallas_norm("gn")
         tok = block_pallas_kernels()
         try:
-            assert not norms._use_pallas_norm()
+            assert not norms._use_pallas_norm("ln")
+            assert not norms._use_pallas_norm("gn")
         finally:
             PALLAS_KERNELS_BLOCKED.reset(tok)
         monkeypatch.setenv("SA_PALLAS_NORM", "0")
-        assert not norms._use_pallas_norm()
+        assert not norms._use_pallas_norm("ln")
+        # single-family modes (compile-path bisection / partial enablement)
+        monkeypatch.setenv("SA_PALLAS_NORM", "ln")
+        assert norms._use_pallas_norm("ln") and not norms._use_pallas_norm("gn")
+        monkeypatch.setenv("SA_PALLAS_NORM", "gn")
+        assert norms._use_pallas_norm("gn") and not norms._use_pallas_norm("ln")
 
     def test_supported_predicates(self):
         from stableanimator_tpu.ops.norms_pallas import (gn_supported,

@@ -40,7 +40,9 @@ _SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS",
 
 def _cfg(**on):
     env = {k: "0" for k in _SWITCHES}
-    env.update({k: "1" for k in on})
+    # value 1/True -> "1"; string values (e.g. SA_PALLAS_NORM="ln") pass
+    # through verbatim
+    env.update({k: (v if isinstance(v, str) else "1") for k, v in on.items()})
     return env
 
 
@@ -50,6 +52,8 @@ CONFIGS = {
     "int8": _cfg(SA_BENCH_QUANT=1),
     "int8_pallas": _cfg(SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
     "norms": _cfg(SA_PALLAS_NORM=1),
+    "norms_ln": _cfg(SA_PALLAS_NORM="ln"),
+    "norms_gn": _cfg(SA_PALLAS_NORM="gn"),
     "all": _cfg(SA_TPU_TEMPORAL_ATTN=1, SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
 }
 
