@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-ITERS = 8
+ITERS = 8  # overridden by --iters
 
 
 def sync(x):
@@ -90,11 +90,47 @@ def conv_shift9(x, w):
     return acc.astype(x.dtype)
 
 
+def conv_tapmajor(x, w):
+    """One [M, Cin] x [Cin, 9*Cout] matmul (MXU-friendly big N), then the
+    9 taps are combined by shifted slice-adds over the matmul output —
+    XLA fuses the 9 adds into a single output-stationary elementwise pass.
+    Dual of shift9: the blow-up lives on the OUTPUT side where it is
+    consumed once, instead of 9 strided input reads per output tile."""
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    w2 = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, 9 * cout)
+    y = (x.reshape(-1, cin) @ w2).reshape(n, h, wd, 9, cout)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    acc = jnp.zeros((n, h, wd, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            k = dy * 3 + dx
+            acc = acc + yp[:, dy:dy + h, dx:dx + wd, k, :].astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def conv_padN(x, w):
+    """Direct conv with Cout zero-padded up to a lane multiple (128): does
+    XLA's conv emitter recover the padding loss itself or not?"""
+    cout = w.shape[-1]
+    pad = (-cout) % 128
+    if pad == 0:
+        return conv_direct(x, w)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    return conv_direct(x, wp)[..., :cout]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=32,
+                    help="scan-chain length; long chains amortise the "
+                         "~40 ms per-dispatch tunnel floor that polluted "
+                         "the ITERS=8 runs")
     args = ap.parse_args()
+    global ITERS
+    ITERS = args.iters
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -116,6 +152,8 @@ def main():
         ("im2col", conv_im2col),
         ("shift9", conv_shift9),
         ("fp32acc", lambda x, w: conv_direct(x, w, jnp.float32)),
+        ("tapmajor", conv_tapmajor),
+        ("padN", conv_padN),
     ]
 
     for hw, cin, cout in shapes:
