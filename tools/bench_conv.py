@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Conv-formulation sweep at the UNet's real shapes (VERDICT r2 item 4:
-"conv layout experiments on the 57% conv bucket").
+"conv layout experiments on the conv bucket").
 
-The UNet's per-step critical path is dominated by 3x3 conv fusions
-(~252 ms of ~390 ms at 512^2, ~70% MXU utilisation inside). This tool
-times the same conv under different formulations on the real chip to see
-whether XLA's direct conv emitter leaves anything on the table:
+Verdict (one v5e chip, --iters 32): XLA's direct emitter is already the
+right choice — 53-90 TF/s at every UNet 3x3 shape; im2col/shift9/tapmajor/
+padN are within noise or worse. (Earlier --iters 8 runs were dominated by
+the ~40 ms per-dispatch tunnel floor and mis-read as 8-17% MFU.) The tool
+stays for regression checks on new shapes. Formulations:
 
   direct   — lax.conv_general_dilated, NHWC x HWIO (the model's path)
   im2col   — explicit patch extraction + one [N*H*W, 9*Cin]x[9*Cin, Cout]

@@ -47,7 +47,59 @@ def run_traced(fn, logdir):
     return wall
 
 
-def parse_xplane(logdir, top=30):
+def build_fusion_classifier(hlo_text):
+    """Map each fusion instruction to the op kinds its fused computation
+    CONTAINS (recursing through nested kLoop fusions). Classifying by the
+    instruction NAME alone mislabels TPU fusions: XLA's output fusions put
+    the convolution + bias + residual adds + the next norm's stats reduces
+    in ONE fusion whose root is the reduce tuple, so a name-based pass
+    files most of the conv time under "elementwise" (that artifact produced
+    both the round-2 "57% conv" and the round-3 "56% elementwise" stories).
+    """
+    comps = {}
+    cur = None
+    for ln in hlo_text.splitlines():
+        m = re.match(r"%(\S+) \(.*\) -> .* \{", ln)
+        if m:
+            cur = m.group(1)
+            comps[cur] = []
+        elif cur is not None:
+            if ln.startswith("}"):
+                cur = None
+            else:
+                comps[cur].append(ln)
+    calls = {}
+    for m in re.finditer(r"%(\S+) = [^\n]*? fusion\((?:[^()]|\([^)]*\))*\),"
+                         r"[^\n]*?calls=%(\S+)", hlo_text):
+        calls[m.group(1)] = m.group(2).rstrip(",")
+
+    def classify(fusion_name):
+        kinds = set()
+        seen = set()
+        stack = [calls.get(fusion_name)]
+        while stack:
+            c = stack.pop()
+            if not c or c in seen:
+                continue
+            seen.add(c)
+            for ln in comps.get(c, ()):
+                if "convolution-base-dilated" in ln or "lhs_dilate" in ln:
+                    kinds.add("dilated")
+                elif " convolution(" in ln:
+                    kinds.add("conv")
+                if " reduce(" in ln:
+                    kinds.add("reduce")
+                if "custom-call" in ln:
+                    kinds.add("custom")
+                m2 = re.search(r"calls=%(\S+)", ln)
+                if m2:
+                    stack.append(m2.group(1).rstrip(","))
+        return kinds
+
+    return classify
+
+
+def parse_xplane(logdir, top=30, hlo_text=None):
     try:
         from tensorboard_plugin_profile.protobuf import xplane_pb2
     except ImportError:  # proto moved into tensorflow's tsl tree
@@ -121,11 +173,24 @@ def parse_xplane(logdir, top=30):
             rhs = parts[1] if len(parts) > 1 else parts[0]
         return lhs.lstrip("%"), rhs.split("(", 1)[0].strip().lower()
 
+    classify = build_fusion_classifier(hlo_text) if hlo_text else None
+
     def category(name):
         parsed = _op_kind(name)
         lhs, kind = parsed if isinstance(parsed, tuple) else (parsed, parsed)
         lhs = lhs.lower()
         if kind == "fusion":
+            if classify is not None:
+                kinds = classify(lhs)
+                if "conv" in kinds:
+                    return "conv-containing fusion"
+                if "dilated" in kinds:
+                    return "temporal-matmul (dilated-conv) fusion"
+                if "custom" in kinds:
+                    return "pallas/custom"
+                if "reduce" in kinds:
+                    return "stats/reduce fusion"
+                return "elementwise fusion"
             if "conv" in lhs or "dot" in lhs or "gemm" in lhs:
                 return "matmul/conv fusion"
             return "elementwise fusion"
@@ -209,9 +274,10 @@ def main():
 
         wall = run_traced(fwd, logdir)
         print(f"UNet fwd wall: {wall*1e3:.1f} ms")
+        hlo_text = fwd.lower().compile().as_text()
     else:
-        from stableanimator_tpu.pipeline import (
-            build_models, generate, device_fill_params)
+        from stableanimator_tpu.pipeline import build_models, device_fill_params
+        from stableanimator_tpu.pipeline.animation import _generate_impl
 
         models = build_models(dtype=jnp.bfloat16)
         # fill params ON DEVICE: a host tree is ~700 leaves x ~0.3s of
@@ -226,14 +292,22 @@ def main():
         pose = jnp.full((f, args.height, args.width, 3), -1.0, jnp.float32)
         face = jnp.zeros((1, 512), jnp.float32)
 
+        # jit the impl directly (not pipeline.generate, whose module-level
+        # jit we cannot introspect) so the PROFILED executable and the HLO
+        # handed to the classifier are the same program; cfg is bound in
+        # the closure (it is a dataclass, not a traceable array)
+        gen = jax.jit(lambda p, r, po, fa_, k:
+                      _generate_impl(models, p, r, po, fa_, pcfg, k))
+        key = jax.random.PRNGKey(1)
+
         def fwd():
-            return generate(models, params, ref, pose, face, pcfg,
-                            rng=jax.random.PRNGKey(1))
+            return gen(params, ref, pose, face, key)
 
         wall = run_traced(fwd, logdir)
         print(f"generate wall: {wall*1e3:.1f} ms")
+        hlo_text = gen.lower(params, ref, pose, face, key).compile().as_text()
 
-    parse_xplane(logdir, args.top)
+    parse_xplane(logdir, args.top, hlo_text=hlo_text)
     print(f"\ntrace: {logdir}")
 
 
