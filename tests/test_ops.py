@@ -69,6 +69,25 @@ class TestAttention:
         ref = F.scaled_dot_product_attention(tq, tk, tv).permute(0, 2, 1, 3).numpy()
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
+    def test_mulsum_attention_matches_xla(self):
+        """Tiny-F temporal formulation (SA_TEMPORAL_MULSUM) == einsum math."""
+        from stableanimator_tpu.ops.attention import mulsum_attention
+
+        q = _rand(3, 16, 5, 64, seed=3)
+        k = _rand(3, 16, 5, 64, seed=4)
+        v = _rand(3, 16, 5, 64, seed=5)
+        ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                       jnp.asarray(v)))
+        out = np.asarray(mulsum_attention(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+        # bf16 inputs: same rounding points (fp32 logits, input-dtype PV)
+        qb, kb, vb = (jnp.asarray(t, jnp.bfloat16) for t in (q, k, v))
+        ref = np.asarray(xla_attention(qb, kb, vb), np.float32)
+        out = np.asarray(mulsum_attention(qb, kb, vb), np.float32)
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
     @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 300), (128, 512)])
     def test_flash_matches_xla(self, sq, sk):
         q = jnp.asarray(_rand(1, sq, 2, 64, seed=5))

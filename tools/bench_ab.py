@@ -35,7 +35,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # every config pins ALL switches: a stray exported SA_* from manual
 # testing must not contaminate the rows that don't mention it
 _SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS",
-             "SA_PALLAS_NORM")
+             "SA_PALLAS_NORM", "SA_TEMPORAL_MULSUM")
 
 
 def _cfg(**on):
@@ -54,6 +54,7 @@ CONFIGS = {
     "norms": _cfg(SA_PALLAS_NORM=1),
     "norms_ln": _cfg(SA_PALLAS_NORM="ln"),
     "norms_gn": _cfg(SA_PALLAS_NORM="gn"),
+    "mulsum": _cfg(SA_TEMPORAL_MULSUM=1),
     "all": _cfg(SA_TPU_TEMPORAL_ATTN=1, SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
 }
 
