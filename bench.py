@@ -89,6 +89,7 @@ def _emit(ok: bool) -> None:
             "quant": _STATE.get("quant", False),
             "int8_pallas": os.environ.get("SA_INT8_PALLAS", "0"),
             "temporal_kernel": _STATE.get("temporal_kernel", "0"),
+            "decode_chunk": _STATE.get("decode_chunk", 4),
             "total_wall_s": round(time.time() - _T0, 1),
         },
     }
@@ -266,8 +267,12 @@ def main():
         return float(np.asarray(out))
 
     # --- warmup / compile, with OOM retry + fallback config ---------------
+    # SA_BENCH_DECODE_CHUNK overrides the VAE decode chunk (default 4) for
+    # A/B runs; the OOM fallback still steps down to 2
     _STATE["phase"] = "warmup"
-    cfg = make_cfg(4)
+    chunk = int(os.environ.get("SA_BENCH_DECODE_CHUNK", "4"))
+    _STATE["decode_chunk"] = chunk
+    cfg = make_cfg(chunk)
     attempts = [("primary", cfg), ("retry", cfg), ("decode_chunk_2", make_cfg(2))]
     warmed = None
     for name, acfg in attempts:
