@@ -201,3 +201,61 @@ def test_bench_micro_smoke():
     assert rec["metric"] == "frames_per_sec_micro_smoke"
     assert rec["detail"]["ok"] and rec["value"] > 0
     assert rec["detail"]["all_runs_s"]
+
+
+class TestBenchToolHelpers:
+    """The bench tools double as regression oracles; their formulation
+    helpers must stay numerically equal to the model's direct path."""
+
+    def test_conv_formulations_match_direct(self):
+        import jax.numpy as jnp
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.bench_conv import (conv_direct, conv_im2col, conv_padN,
+                                      conv_shift9, conv_tapmajor)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 32, 16)) * 0.1, jnp.float32)
+        ref = np.asarray(conv_direct(x, w))
+        for name, fn in [("im2col", conv_im2col), ("shift9", conv_shift9),
+                         ("tapmajor", conv_tapmajor), ("padN", conv_padN)]:
+            out = np.asarray(fn(x, w))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+    def test_fusion_classifier_contents(self):
+        """profile_unet's content-aware classifier: an output fusion whose
+        root is a reduce tuple but whose body contains a convolution must
+        classify as conv (the round-2/3 misattribution this fixes)."""
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.profile_unet import build_fusion_classifier
+
+        hlo = """\
+%fused_computation.1 (p0: bf16[2,8,8,4]) -> (f32[2,4], bf16[2,8,8,4]) {
+  %p0 = bf16[2,8,8,4]{3,2,1,0} parameter(0)
+  %c = bf16[2,8,8,4]{3,2,1,0} convolution(%p0, %p0), window={size=3x3}
+  %r = f32[2,4]{1,0} reduce(%c, %z), dimensions={1,2}
+  ROOT %t = (f32[2,4]{1,0}, bf16[2,8,8,4]{3,2,1,0}) tuple(%r, %c)
+}
+
+%fused_computation.2 (p0: bf16[8,16]) -> bf16[8,16] {
+  %p0 = bf16[8,16]{1,0} parameter(0)
+  ROOT %m = bf16[8,16]{1,0} multiply(%p0, %p0)
+}
+
+%fused_computation.3 (p0: bf16[8,16]) -> bf16[8,16] {
+  %inner = bf16[8,16]{1,0} fusion(%p0), kind=kLoop, calls=%fused_computation.1
+  ROOT %m = bf16[8,16]{1,0} multiply(%inner, %inner)
+}
+
+ENTRY %main {
+  %fusion.10 = (f32[2,4]{1,0}, bf16[2,8,8,4]{3,2,1,0}) fusion(%x), kind=kOutput, calls=%fused_computation.1
+  %fusion.11 = bf16[8,16]{1,0} fusion(%y), kind=kLoop, calls=%fused_computation.2
+  %fusion.12 = bf16[8,16]{1,0} fusion(%y), kind=kLoop, calls=%fused_computation.3
+}
+"""
+        cl = build_fusion_classifier(hlo)
+        assert cl("fusion.10") == {"conv", "reduce"}
+        assert cl("fusion.11") == set()          # pure elementwise
+        assert "conv" in cl("fusion.12")         # recurses into nested call
