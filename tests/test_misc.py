@@ -249,13 +249,22 @@ class TestBenchToolHelpers:
   ROOT %m = bf16[8,16]{1,0} multiply(%inner, %inner)
 }
 
+%scan_body.4 (p0: bf16[8,16]) -> bf16[8,16] {
+  %fusion.13 = bf16[8,16]{1,0} fusion(%p0), kind=kLoop, calls=%fused_computation.2
+  ROOT %t4 = bf16[8,16]{1,0} multiply(%fusion.13, %fusion.13)
+}
+
 ENTRY %main {
   %fusion.10 = (f32[2,4]{1,0}, bf16[2,8,8,4]{3,2,1,0}) fusion(%x), kind=kOutput, calls=%fused_computation.1
   %fusion.11 = bf16[8,16]{1,0} fusion(%y), kind=kLoop, calls=%fused_computation.2
   %fusion.12 = bf16[8,16]{1,0} fusion(%y), kind=kLoop, calls=%fused_computation.3
+  %while.1 = bf16[8,16]{1,0} while(%y), condition=%cond.5, body=%scan_body.4
 }
 """
-        cl = build_fusion_classifier(hlo)
+        cl, in_loop = build_fusion_classifier(hlo)
         assert cl("fusion.10") == {"conv", "reduce"}
         assert cl("fusion.11") == set()          # pure elementwise
         assert "conv" in cl("fusion.12")         # recurses into nested call
+        # while-body membership (denoise-scan x25 annotation)
+        assert in_loop("fusion.13")
+        assert not in_loop("fusion.10") and not in_loop("fusion.11")

@@ -57,21 +57,38 @@ def build_fusion_classifier(hlo_text):
     both the round-2 "57% conv" and the round-3 "56% elementwise" stories).
     """
     comps = {}
+    instr_comp = {}  # instruction name -> defining computation
     cur = None
     for ln in hlo_text.splitlines():
         m = re.match(r"%(\S+) \(.*\) -> .* \{", ln)
         if m:
             cur = m.group(1)
             comps[cur] = []
+        elif ln.startswith("ENTRY"):
+            cur = "__entry__"
+            comps[cur] = []
         elif cur is not None:
             if ln.startswith("}"):
                 cur = None
             else:
                 comps[cur].append(ln)
+                mi = re.match(r"\s*(?:ROOT )?%(\S+) = ", ln)
+                if mi:
+                    instr_comp[mi.group(1)] = cur
     calls = {}
     for m in re.finditer(r"%(\S+) = [^\n]*? fusion\((?:[^()]|\([^)]*\))*\),"
                          r"[^\n]*?calls=%(\S+)", hlo_text):
         calls[m.group(1)] = m.group(2).rstrip(",")
+
+    # computations referenced as a while BODY: instructions defined there
+    # execute once PER TRIP (the denoise scan runs 25x), so their profile
+    # totals are sums over the loop — annotate rather than let the reader
+    # mistake them for single-execution costs
+    bodies = {m.group(1).rstrip(",")
+              for m in re.finditer(r"body=%(\S+)", hlo_text)}
+
+    def in_loop(instr_name):
+        return instr_comp.get(instr_name) in bodies
 
     def classify(fusion_name):
         kinds = set()
@@ -96,7 +113,7 @@ def build_fusion_classifier(hlo_text):
                     stack.append(m2.group(1).rstrip(","))
         return kinds
 
-    return classify
+    return classify, in_loop
 
 
 def parse_xplane(logdir, top=30, hlo_text=None):
@@ -173,7 +190,8 @@ def parse_xplane(logdir, top=30, hlo_text=None):
             rhs = parts[1] if len(parts) > 1 else parts[0]
         return lhs.lstrip("%"), rhs.split("(", 1)[0].strip().lower()
 
-    classify = build_fusion_classifier(hlo_text) if hlo_text else None
+    classify, in_loop = (build_fusion_classifier(hlo_text)
+                         if hlo_text else (None, None))
 
     def category(name):
         parsed = _op_kind(name)
@@ -217,7 +235,12 @@ def parse_xplane(logdir, top=30, hlo_text=None):
         print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {cat}")
     print(f"\n=== top {top} ops ===")
     for name, dur in by_name.most_common(top):
-        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name[:110]}")
+        tag = ""
+        if in_loop is not None and " = " in name:
+            lhs = name.split(" = ", 1)[0].lstrip("%")
+            if in_loop(lhs):
+                tag = "[xN in scan] "
+        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {tag}{name[:100]}")
     return by_name, total
 
 
