@@ -268,3 +268,26 @@ ENTRY %main {
         # while-body membership (denoise-scan x25 annotation)
         assert in_loop("fusion.13")
         assert not in_loop("fusion.10") and not in_loop("fusion.11")
+
+    def test_collective_bytes_parser(self):
+        """estimate_multichip's executed-collective accounting: while-body
+        collectives count once per denoise step; sizes come from the
+        output shapes."""
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.estimate_multichip import collective_bytes
+
+        hlo = """\
+%scan_body.1 (p0: bf16[8,16]) -> bf16[8,16] {
+  %cp = bf16[8,16]{1,0} collective-permute(%p0), source_target_pairs={{0,1}}
+  ROOT %r = bf16[8,16]{1,0} add(%cp, %cp)
+}
+
+ENTRY %main {
+  %ag = f32[4,8]{1,0} all-gather(%x), dimensions={0}
+  %while.1 = bf16[8,16]{1,0} while(%y), condition=%c.2, body=%scan_body.1
+}
+"""
+        per_kind, counts = collective_bytes(hlo, steps_in_loop=25)
+        assert per_kind["all-gather"] == 4 * 8 * 4          # f32, once
+        assert per_kind["collective-permute"] == 8 * 16 * 2 * 25
+        assert counts["collective-permute"] == 25 and counts["all-gather"] == 1
