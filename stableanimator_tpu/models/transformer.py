@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from stableanimator_tpu.models.layers import (
@@ -135,11 +136,35 @@ class Attention(nn.Module):
                 # MXU-hostile 16-token batched matmuls
                 o = temporal_attention_spatial(q, k, v, f, self.heads)
             else:
+                # Under a (data, frame) mesh the spatial layout shards
+                # frames; contracting over F would otherwise all-gather the
+                # whole activation across the frame axis (measured 83 GB /
+                # pro video, tools/estimate_multichip.py). Sequence-parallel
+                # reshard instead: constrain the frame-major tensors to
+                # shard their batch*spatial rows over BOTH mesh axes —
+                # GSPMD turns the transposes into all-to-alls (1/n of the
+                # data on the wire) and the attention itself is fully local.
+                from stableanimator_tpu.ops.gate import active_mesh
+
+                mesh = active_mesh()
+
+                def _seqpar(t):
+                    # rows must tile evenly onto the mesh (tiny/micro
+                    # configs reach 1x1 spatial where they don't — keep
+                    # GSPMD's own choice there)
+                    if mesh is None or t.shape[0] % mesh.size != 0:
+                        return t
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    spec = PartitionSpec(tuple(mesh.axis_names),
+                                         *([None] * (t.ndim - 1)))
+                    return jax.lax.with_sharding_constraint(
+                        t, NamedSharding(mesh, spec))
 
                 def to_frame_major(t):
                     t = t.reshape(b, f, sq, self.heads, self.dim_head)
-                    return t.transpose(0, 2, 1, 3, 4).reshape(
-                        b * sq, f, self.heads, self.dim_head)
+                    return _seqpar(t.transpose(0, 2, 1, 3, 4).reshape(
+                        b * sq, f, self.heads, self.dim_head))
 
                 q = q.reshape(n, sq, self.heads, self.dim_head)
                 k = k.reshape(n, sk, self.heads, self.dim_head)

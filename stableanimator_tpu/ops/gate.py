@@ -23,3 +23,21 @@ def block_pallas_kernels():
 
 def pallas_blocked() -> bool:
     return PALLAS_KERNELS_BLOCKED.get()
+
+
+# Active mesh for sharded traces: modules deep inside the UNet (temporal
+# attention) need to place with_sharding_constraint hints, but threading a
+# mesh through Flax module attributes would change every signature. The
+# pipeline sets this contextvar around mesh-sharded traces instead (same
+# pattern as the kernel gate above).
+ACTIVE_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "sa_active_mesh", default=None)
+
+
+def set_active_mesh(mesh):
+    """Returns a token; ACTIVE_MESH.reset(token) when the trace is done."""
+    return ACTIVE_MESH.set(mesh)
+
+
+def active_mesh():
+    return ACTIVE_MESH.get()

@@ -447,6 +447,26 @@ def _u8_to_sym(x):
 def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
                    cfg: PipelineConfig, rng, face_opt=None, mesh=None,
                    clip_image=None):
+    # publish the mesh for the temporal blocks' sequence-parallel
+    # resharding hints — set HERE (trace time) so direct _generate_impl
+    # callers (tests, tools) get it too, not only pipeline.generate()
+    if mesh is None:
+        return _generate_body(models, params, ref_image, pose_pixels,
+                              face_embedding, cfg, rng, face_opt, mesh,
+                              clip_image)
+    from stableanimator_tpu.ops.gate import ACTIVE_MESH
+
+    tok = ACTIVE_MESH.set(mesh)
+    try:
+        return _generate_body(models, params, ref_image, pose_pixels,
+                              face_embedding, cfg, rng, face_opt, mesh,
+                              clip_image)
+    finally:
+        ACTIVE_MESH.reset(tok)
+
+
+def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
+                   cfg: PipelineConfig, rng, face_opt, mesh, clip_image):
     ref_image = _u8_to_unit(ref_image)
     clip_image = _u8_to_unit(clip_image)
     pose_pixels = _u8_to_sym(pose_pixels)
@@ -507,7 +527,9 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     )
     # mesh-sharded graphs must not trace the Pallas temporal-attention
     # kernel (GSPMD cannot partition Mosaic custom calls); tracing happens
-    # synchronously inside the jit call below, so a contextvar guard works
+    # synchronously inside the jit call below, so a contextvar guard works.
+    # (_generate_impl itself publishes the mesh for the temporal blocks'
+    # sequence-parallel resharding hints.)
     tok = block_temporal_kernel() if mesh is not None else None
     try:
         if face_opt is not None:
