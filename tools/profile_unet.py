@@ -116,7 +116,7 @@ def build_fusion_classifier(hlo_text):
     return classify, in_loop
 
 
-def parse_xplane(logdir, top=30, hlo_text=None):
+def parse_xplane(logdir, top=30, hlo_text=None, bucket=None):
     try:
         from tensorboard_plugin_profile.protobuf import xplane_pb2
     except ImportError:  # proto moved into tensorflow's tsl tree
@@ -233,14 +233,20 @@ def parse_xplane(logdir, top=30, hlo_text=None):
     print(f"\n=== device total: {total:.1f} ms ===")
     for cat, dur in by_cat.most_common():
         print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {cat}")
-    print(f"\n=== top {top} ops ===")
-    for name, dur in by_name.most_common(top):
+    names = by_name.most_common()
+    if bucket:
+        names = [(n, d) for n, d in names if category(n) == bucket]
+        print(f"\n=== top {top} ops in bucket '{bucket}' "
+              f"({sum(d for _, d in names):.1f} ms total) ===")
+    else:
+        print(f"\n=== top {top} ops ===")
+    for name, dur in names[:top]:
         tag = ""
         if in_loop is not None and " = " in name:
             lhs = name.split(" = ", 1)[0].lstrip("%")
             if in_loop(lhs):
                 tag = "[xN in scan] "
-        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {tag}{name[:100]}")
+        print(f"{dur:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {tag}{name[:140]}")
     return by_name, total
 
 
@@ -251,6 +257,9 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--bucket", default=None,
+                    help="only list ops whose category matches, e.g. "
+                         "'copy/transpose'")
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -330,7 +339,7 @@ def main():
         print(f"generate wall: {wall*1e3:.1f} ms")
         hlo_text = gen.lower(params, ref, pose, face, key).compile().as_text()
 
-    parse_xplane(logdir, args.top, hlo_text=hlo_text)
+    parse_xplane(logdir, args.top, hlo_text=hlo_text, bucket=args.bucket)
     print(f"\ntrace: {logdir}")
 
 
