@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--frames_overlap", type=int, default=4)
     p.add_argument("--noise_aug_strength", type=float, default=0.02)
     p.add_argument("--decode_chunk_size", type=int, default=4)
+    p.add_argument("--max_tile_batch", type=int, default=0,
+                   help="max temporal tiles per UNet call; 0 = auto "
+                        "(all tiles batched for short videos, groups of 2 "
+                        "once the video has more than 4 tiles — bounds HBM "
+                        "for long videos, e.g. the reference's 15 s demo)")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--motion_bucket_id", type=int, default=127)
     p.add_argument("--seed", type=int, default=23123134)
@@ -205,6 +210,7 @@ def main():
         fps=args.fps, motion_bucket_id=args.motion_bucket_id,
         noise_aug_strength=args.noise_aug_strength,
         decode_chunk_size=args.decode_chunk_size,
+        max_tile_batch="auto" if args.max_tile_batch == 0 else args.max_tile_batch,
     )
 
     # uint8 to the device (generate converts on-chip, 1/4 the transfer);

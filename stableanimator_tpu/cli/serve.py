@@ -20,7 +20,8 @@ Endpoints:
         # a fixed config and use --warm to pay that compile at startup):
         "height": int, "width": int, "num_inference_steps": int,
         "tile_size": int, "frames_overlap": int, "decode_chunk_size": int,
-        "guidance_scale": float, "seed": int
+        "guidance_scale": float, "seed": int,
+        "max_tile_batch": int   # 0 = auto (groups of 2 for long videos)
       }
     Responds video/mp4 or image/gif bytes; "json" returns
     {"mp4": "<base64>", "seconds": t}. Errors are JSON with HTTP 4xx/5xx.
@@ -173,6 +174,8 @@ class AnimationService:
             min_guidance_scale=g, max_guidance_scale=g,
             decode_chunk_size=int(req.get("decode_chunk_size",
                                           a.decode_chunk_size)),
+            max_tile_batch=("auto" if int(req.get("max_tile_batch", 0)) == 0
+                            else int(req["max_tile_batch"])),
         )
         seed = int(req.get("seed", 23123134))
 

@@ -201,6 +201,17 @@ class PipelineConfig:
     # sequentially — at 576x1024 the batched decoder's level-0 activations
     # alone exceed one chip's HBM.
     batched_decode_max_latent_volume: int = 16 * 64 * 64
+    # Max temporal tiles per UNet invocation. None = every tile in one
+    # batched call (fastest; fine up to a few tiles). Long videos (the
+    # reference's headline 15 s / ~450-frame demo, README.md:367) have
+    # dozens of tiles, so the denoise step scans over groups of this many
+    # tiles instead — bounded HBM at any video length, like the
+    # reference's per-tile Python loop (inference_pipeline_animation.py:
+    # 654-689) but still fully inside one compiled program. "auto" (the
+    # default) picks None for <= 4 tiles and groups of 2 past that
+    # (diffusion/tiling.py::auto_tile_batch), so every caller — CLI,
+    # server, benches — is long-video-safe without opting in.
+    max_tile_batch: int | str | None = "auto"
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,22 @@ def tile_indices(num_frames: int, tile_size: int, tile_overlap: int) -> np.ndarr
     return np.asarray(idx, dtype=np.int32)
 
 
+def auto_tile_batch(num_frames: int, tile_size: int,
+                    tile_overlap: int) -> int | None:
+    """Default `PipelineConfig.max_tile_batch` policy.
+
+    Short videos (<= 4 tiles, i.e. up to ~52 frames at 16/4) keep the
+    all-tiles-in-one-UNet-call fast path (None). Longer videos denoise in
+    groups of 2 tiles per call, bounding the UNet batch at 4 tile-slices
+    regardless of length — measured to fit one 16 GB v5e chip at 512^2
+    alongside full-video pose latents.
+    """
+    if num_frames <= tile_size:
+        return None
+    n_tiles = tile_indices(num_frames, tile_size, tile_overlap).shape[0]
+    return None if n_tiles <= 4 else 2
+
+
 def tile_blend_weight(tile_size: int) -> np.ndarray:
     """Triangular blend weights, [tile_size] float32.
 

@@ -44,7 +44,11 @@ from stableanimator_tpu.diffusion.scheduler import (
     scale_model_input,
     step_euler,
 )
-from stableanimator_tpu.diffusion.tiling import tile_blend_weight, tile_indices
+from stableanimator_tpu.diffusion.tiling import (
+    auto_tile_batch,
+    tile_blend_weight,
+    tile_indices,
+)
 from stableanimator_tpu.models.clip import (
     CLIP_IMAGE_MEAN,
     CLIP_IMAGE_STD,
@@ -295,18 +299,26 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
                    "frame"; GSPMD inserts the cross-frame collectives.
     """
     f = latents.shape[1]
-    tiles = jnp.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap))
+    tiles_np = tile_indices(f, cfg.tile_size, cfg.tile_overlap)
+    tiles = jnp.asarray(tiles_np)
     n_tiles = tiles.shape[0]
     weights = tile_blend_weight(cfg.tile_size)
     counts = np.zeros((f,), np.float32)
-    np.add.at(counts, np.asarray(tile_indices(f, cfg.tile_size, cfg.tile_overlap)).reshape(-1),
-              np.tile(weights, n_tiles))
+    np.add.at(counts, tiles_np.reshape(-1), np.tile(weights, n_tiles))
     counts_j = jnp.asarray(counts)
     weights_j = jnp.asarray(weights)
 
     # per-frame guidance ramp (reference :604-609)
     guidance = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, f,
                             dtype=jnp.float32)[None, :, None, None, None]
+
+    mtb = (auto_tile_batch(f, cfg.tile_size, cfg.tile_overlap)
+           if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
+    if mtb is not None and mtb < n_tiles:
+        return _denoise_grouped(
+            models, params, latents, context, image_latents, add_time_ids,
+            pose_latents, schedule, cfg, mtb, tiles_np, weights_j, counts_j,
+            guidance, face_opt=face_opt, mesh=mesh)
 
     # static per-tile conditioning
     pose_tiles = pose_latents[tiles.reshape(-1)]          # [n*T, h, w, c0]
@@ -357,17 +369,115 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
         noise_uncond = blend(out[:n_tiles])
         noise_cond = blend(out[n_tiles:])
         noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
-        if face_opt is not None and face_opt.cfg.steps > 0:
-            from stableanimator_tpu.diffusion.scheduler import (
-                pred_original_sample,
-                step_euler_from_x0,
-            )
+        lat = _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt)
+        return lat, None
 
-            x0 = pred_original_sample(noise_pred[None], lat, sigma)
-            x0 = face_opt.refine(x0, i)
-            lat = step_euler_from_x0(x0, lat, sigma, sigma_next)
-        else:
-            lat = step_euler(noise_pred[None], lat, sigma, sigma_next)
+    latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))
+    return latents
+
+
+def _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt):
+    """One Euler update (optionally through the HJB face-opt inner solver)."""
+    if face_opt is not None and face_opt.cfg.steps > 0:
+        from stableanimator_tpu.diffusion.scheduler import (
+            pred_original_sample,
+            step_euler_from_x0,
+        )
+
+        x0 = pred_original_sample(noise_pred[None], lat, sigma)
+        x0 = face_opt.refine(x0, i)
+        return step_euler_from_x0(x0, lat, sigma, sigma_next)
+    return step_euler(noise_pred[None], lat, sigma, sigma_next)
+
+
+def _denoise_grouped(models, params, latents, context, image_latents,
+                     add_time_ids, pose_latents, schedule, cfg: PipelineConfig,
+                     group_size, tiles_np, weights_j, counts_j, guidance,
+                     face_opt=None, mesh=None):
+    """Long-video denoise: scan over groups of `group_size` tiles.
+
+    Same math as the all-tiles-batched path in `denoise` (each tile's UNet
+    output is weighted, scatter-added and count-normalised), but the UNet
+    batch per call is bounded at 2 x max_tile_batch tile-slices, so HBM use
+    is independent of video length — the TPU shape of the reference's
+    per-tile Python loop (inference_pipeline_animation.py:654-689). The
+    tile set is padded to a multiple of the group size with zero-weight
+    duplicates of the last tile so every group has a static shape.
+    """
+    f = latents.shape[1]
+    n_tiles, tile = tiles_np.shape
+    g = group_size
+    n_groups = -(-n_tiles // g)
+    pad = n_groups * g - n_tiles
+    tiles_p = np.concatenate(
+        [tiles_np, np.repeat(tiles_np[-1:], pad, axis=0)], axis=0)
+    mask_p = np.concatenate(
+        [np.ones((n_tiles,), np.float32), np.zeros((pad,), np.float32)])
+    tiles_g = jnp.asarray(tiles_p.reshape(n_groups, g, tile))
+    mask_g = jnp.asarray(mask_p.reshape(n_groups, g))
+
+    # group-constant conditioning: [2g, ...] with uncond halves first, like
+    # the batched path (uncond drops the pose AND carries the zeroed face
+    # tokens baked into context[0]; reference :663-671)
+    ctx_pair = jnp.concatenate([
+        jnp.repeat(context[:1], g, axis=0),
+        jnp.repeat(context[1:], g, axis=0),
+    ], axis=0)
+    ids_pair = jnp.concatenate([
+        jnp.repeat(add_time_ids[:1], g, axis=0),
+        jnp.repeat(add_time_ids[1:], g, axis=0),
+    ], axis=0)
+    img_cond = image_latents[1]
+
+    def step(lat, i):
+        sigma = schedule.sigmas[i]
+        sigma_next = schedule.sigmas[i + 1]
+        t = schedule.timesteps[i]
+
+        lat_in = scale_model_input(lat, sigma)[0]          # [F, h, w, 4]
+
+        def tile_group(acc, xs):
+            tg, mg = xs                                    # [g, T], [g]
+            x_t = lat_in[tg]                               # [g, T, h, w, 4]
+            img_u = jnp.zeros(x_t.shape[:-1] + (img_cond.shape[-1],), x_t.dtype)
+            img_c = jnp.broadcast_to(
+                img_cond, x_t.shape[:-1] + (img_cond.shape[-1],))
+            batch = jnp.concatenate([
+                jnp.concatenate([x_t, img_u], axis=-1),
+                jnp.concatenate([x_t, img_c], axis=-1),
+            ], axis=0)                                     # [2g, T, h, w, 8]
+            pose_g = pose_latents[tg.reshape(-1)]          # [g*T, h, w, c0]
+            pose_b = jnp.concatenate(
+                [jnp.zeros_like(pose_g), pose_g], axis=0)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P("data", "frame")))
+
+            out = models.unet.apply(
+                {"params": params["unet"]}, batch, t, ctx_pair, ids_pair,
+                pose_b,
+            ).astype(jnp.float32)                          # [2g, T, h, w, 4]
+
+            # triangular blend weight x padding mask (padded tiles -> 0)
+            wm = (weights_j[None, :] *
+                  jnp.concatenate([mg, mg])[:, None])[:, :, None, None, None]
+            out = out * wm
+            flat = tg.reshape(-1)
+            acc_u = acc[0].at[flat].add(
+                out[:g].reshape((-1,) + out.shape[2:]))
+            acc_c = acc[1].at[flat].add(
+                out[g:].reshape((-1,) + out.shape[2:]))
+            return (acc_u, acc_c), None
+
+        zero = jnp.zeros((f,) + lat.shape[2:], jnp.float32)
+        (acc_u, acc_c), _ = jax.lax.scan(
+            tile_group, (zero, zero), (tiles_g, mask_g))
+        noise_uncond = acc_u / counts_j[:, None, None, None]
+        noise_cond = acc_c / counts_j[:, None, None, None]
+        noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
+        lat = _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt)
         return lat, None
 
     latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))

@@ -128,6 +128,96 @@ def test_denoise_matches_reference_loop(tiny_setup, num_frames, tile, overlap):
     assert np.abs(ours - ref).max() < 0.06, np.abs(ours - ref).max()
 
 
+@pytest.mark.parametrize("group", [1, 3])
+def test_denoise_grouped_matches_batched(tiny_setup, group):
+    """max_tile_batch (long-video bounded-HBM path) runs the same math as
+    the all-tiles-batched path: scan over tile groups, masked zero-weight
+    padding, scatter-add blend. Only fp32 reduction order differs (different
+    UNet batch shapes + group-by-group accumulation), amplified ~sigma by
+    the EDM step — same bound rationale as
+    test_denoise_matches_reference_loop. group=3 with 4 tiles exercises the
+    padded duplicate tile."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(5)
+    h8 = 8
+    num_frames, tile, overlap = 10, 4, 2   # 4 tiles, no tail window
+    cfg = PipelineConfig(height=64, width=64, num_frames=num_frames,
+                         tile_size=tile, tile_overlap=overlap,
+                         num_inference_steps=3, decode_chunk_size=2)
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+
+    latents = jnp.asarray(rng.normal(size=(1, num_frames, h8, h8, 4)), jnp.float32) * 10.0
+    context = jnp.asarray(rng.normal(size=(2, 5, 48)), jnp.float32).at[0].set(0.0)
+    image_latents = jnp.asarray(rng.normal(size=(2, h8, h8, 4)), jnp.float32).at[0].set(0.0)
+    add_time_ids = jnp.asarray([[6.0, 127.0, 0.02]] * 2, jnp.float32)
+    pose_latents = jnp.asarray(rng.normal(size=(num_frames, h8, h8, 32)), jnp.float32)
+
+    batched = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule, cfg)
+    grouped = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule,
+                      dataclasses.replace(cfg, max_tile_batch=group))
+    a, b = np.asarray(grouped), np.asarray(batched)
+    rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
+    assert np.abs(a - b).max() < 0.06, np.abs(a - b).max()
+
+
+def test_generate_grouped_end_to_end(tiny_setup):
+    """Full jitted generate with max_tile_batch set (the long-video config
+    the CLI auto-selects past 4 tiles)."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(6)
+    ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(10, 64, 64, 3)), jnp.float32)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    cfg = PipelineConfig(num_frames=10, tile_size=4, tile_overlap=2,
+                         num_inference_steps=2, decode_chunk_size=3,
+                         max_tile_batch=2)
+    frames = generate(models, params, ref_image, pose, face, cfg,
+                      rng=jax.random.PRNGKey(11))
+    assert frames.shape == (10, 64, 64, 3)
+    assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_auto_tile_batch_policy():
+    from stableanimator_tpu.diffusion.tiling import auto_tile_batch
+
+    assert auto_tile_batch(16, 16, 4) is None          # single tile
+    assert auto_tile_batch(52, 16, 4) is None          # 4 tiles: batch all
+    assert auto_tile_batch(64, 16, 4) == 2             # 5 tiles: group
+    assert auto_tile_batch(450, 16, 4) == 2            # the 15 s demo video
+
+
+def test_auto_default_routes_long_videos_grouped(tiny_setup):
+    """PipelineConfig's default max_tile_batch="auto" sends a >4-tile video
+    through the grouped path with the same math as the all-batched path."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(7)
+    h8 = 8
+    num_frames, tile, overlap = 14, 4, 1   # 5 tiles -> auto picks groups of 2
+    cfg = PipelineConfig(height=64, width=64, num_frames=num_frames,
+                         tile_size=tile, tile_overlap=overlap,
+                         num_inference_steps=2, decode_chunk_size=2)
+    assert cfg.max_tile_batch == "auto"
+
+    latents = jnp.asarray(rng.normal(size=(1, num_frames, h8, h8, 4)), jnp.float32) * 10.0
+    context = jnp.asarray(rng.normal(size=(2, 5, 48)), jnp.float32).at[0].set(0.0)
+    image_latents = jnp.asarray(rng.normal(size=(2, h8, h8, 4)), jnp.float32).at[0].set(0.0)
+    add_time_ids = jnp.asarray([[6.0, 127.0, 0.02]] * 2, jnp.float32)
+    pose_latents = jnp.asarray(rng.normal(size=(num_frames, h8, h8, 32)), jnp.float32)
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+
+    auto = denoise(models, params, latents, context, image_latents,
+                   add_time_ids, pose_latents, schedule, cfg)
+    batched = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule,
+                      dataclasses.replace(cfg, max_tile_batch=None))
+    a, b = np.asarray(auto), np.asarray(batched)
+    rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
+
+
 def test_generate_end_to_end(tiny_setup):
     models, params = tiny_setup
     rng = np.random.default_rng(1)
