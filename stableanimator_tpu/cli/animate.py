@@ -47,6 +47,12 @@ def parse_args():
                         "(all tiles batched for short videos, groups of 2 "
                         "once the video has more than 4 tiles — bounds HBM "
                         "for long videos, e.g. the reference's 15 s demo)")
+    p.add_argument("--steps_per_dispatch", type=int, default=0,
+                   help="max Euler steps per device dispatch; 0 = auto "
+                        "(one program for short videos, 5-step segments "
+                        "once the video has more than 4 tiles — bounds "
+                        "single-execution device time and enables progress "
+                        "reporting), -1 = force one program")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--motion_bucket_id", type=int, default=127)
     p.add_argument("--seed", type=int, default=23123134)
@@ -211,6 +217,9 @@ def main():
         noise_aug_strength=args.noise_aug_strength,
         decode_chunk_size=args.decode_chunk_size,
         max_tile_batch="auto" if args.max_tile_batch == 0 else args.max_tile_batch,
+        steps_per_dispatch=("auto" if args.steps_per_dispatch == 0 else
+                            None if args.steps_per_dispatch < 0 else
+                            args.steps_per_dispatch),
     )
 
     # uint8 to the device (generate converts on-chip, 1/4 the transfer);
@@ -251,7 +260,9 @@ def main():
         face_opt=face_opt,
         # CLIP conditions on the original-resolution image (reference
         # inference_pipeline_animation.py:520)
-        clip_image=jnp.asarray(pil_to_u8_array(ref_pil)))
+        clip_image=jnp.asarray(pil_to_u8_array(ref_pil)),
+        progress=lambda done, total: print(
+            f"  denoise step {done}/{total} dispatched", flush=True))
     frames = jax.block_until_ready(frames)
     print(f"generated {len(pose_images)} frames in {time.time() - t0:.1f}s")
 

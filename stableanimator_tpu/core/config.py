@@ -212,6 +212,19 @@ class PipelineConfig:
     # (diffusion/tiling.py::auto_tile_batch), so every caller — CLI,
     # server, benches — is long-video-safe without opting in.
     max_tile_batch: int | str | None = "auto"
+    # Max Euler steps per device dispatch. None = the whole denoise loop is
+    # one lax.scan inside one executable (fastest; the headline-bench path).
+    # An int k splits the loop into host-dispatched segments of k steps that
+    # all reuse ONE compiled program (the step offset is a traced scalar), so
+    # no single device execution runs unboundedly long — long videos execute
+    # for minutes in one program otherwise, which trips execution watchdogs
+    # on remote-attached TPUs (measured: 512^2 x 64f x 25-step single-program
+    # generate reproducibly kills the worker; 12 steps survive). Segment
+    # dispatch costs ~40 ms each — noise next to multi-second segments — and
+    # gives the CLI/server real progress reporting. "auto" (the default)
+    # picks None for <= 4 tiles and 5 steps/dispatch past that, same
+    # long-video cutover as max_tile_batch.
+    steps_per_dispatch: int | str | None = "auto"
 
 
 @dataclass(frozen=True)

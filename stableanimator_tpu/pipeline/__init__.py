@@ -8,6 +8,7 @@ from stableanimator_tpu.pipeline.animation import (
     denoise,
     decode_frames,
     generate,
+    resolve_steps_per_dispatch,
 )
 from stableanimator_tpu.pipeline.face_opt import (
     FaceOptConfig,

@@ -285,7 +285,8 @@ def encode_conditioning(models: AnimationModels, params, ref_image,
 
 def denoise(models: AnimationModels, params, latents, context, image_latents,
             add_time_ids, pose_latents, schedule: EulerEDMSchedule,
-            cfg: PipelineConfig, face_opt=None, mesh=None):
+            cfg: PipelineConfig, face_opt=None, mesh=None,
+            step_start=0, num_steps: int | None = None):
     """Scan the Euler steps; CFG and tiles batched into one UNet call.
 
     latents:       [1, F, h, w, 4] float32 (already scaled by init sigma)
@@ -297,6 +298,12 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
     mesh:          optional jax.sharding.Mesh — shards the UNet batch
                    (CFG x tiles) over "data" and the tile frame axis over
                    "frame"; GSPMD inserts the cross-frame collectives.
+    step_start:    first schedule index to run (int or traced scalar); with
+                   `num_steps` (static) this scans steps
+                   [step_start, step_start+num_steps) — the segmented
+                   long-video dispatch reuses one compiled segment program
+                   by tracing the offset.
+    num_steps:     how many steps to scan (static); None = the full schedule.
     """
     f = latents.shape[1]
     tiles_np = tile_indices(f, cfg.tile_size, cfg.tile_overlap)
@@ -314,11 +321,14 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
 
     mtb = (auto_tile_batch(f, cfg.tile_size, cfg.tile_overlap)
            if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
+    n_scan = (schedule.timesteps.shape[0] if num_steps is None else num_steps)
+    steps_iter = step_start + jnp.arange(n_scan)
+
     if mtb is not None and mtb < n_tiles:
         return _denoise_grouped(
             models, params, latents, context, image_latents, add_time_ids,
             pose_latents, schedule, cfg, mtb, tiles_np, weights_j, counts_j,
-            guidance, face_opt=face_opt, mesh=mesh)
+            guidance, face_opt=face_opt, mesh=mesh, steps_iter=steps_iter)
 
     # static per-tile conditioning
     pose_tiles = pose_latents[tiles.reshape(-1)]          # [n*T, h, w, c0]
@@ -372,7 +382,7 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
         lat = _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt)
         return lat, None
 
-    latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))
+    latents, _ = jax.lax.scan(step, latents, steps_iter)
     return latents
 
 
@@ -393,7 +403,7 @@ def _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt):
 def _denoise_grouped(models, params, latents, context, image_latents,
                      add_time_ids, pose_latents, schedule, cfg: PipelineConfig,
                      group_size, tiles_np, weights_j, counts_j, guidance,
-                     face_opt=None, mesh=None):
+                     face_opt=None, mesh=None, steps_iter=None):
     """Long-video denoise: scan over groups of `group_size` tiles.
 
     Same math as the all-tiles-batched path in `denoise` (each tile's UNet
@@ -480,7 +490,9 @@ def _denoise_grouped(models, params, latents, context, image_latents,
         lat = _advance_latents(lat, noise_pred, sigma, sigma_next, i, face_opt)
         return lat, None
 
-    latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.timesteps.shape[0]))
+    if steps_iter is None:
+        steps_iter = jnp.arange(schedule.timesteps.shape[0])
+    latents, _ = jax.lax.scan(step, latents, steps_iter)
     return latents
 
 
@@ -575,8 +587,12 @@ def _generate_impl(models, params, ref_image, pose_pixels, face_embedding,
         ACTIVE_MESH.reset(tok)
 
 
-def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
-                   cfg: PipelineConfig, rng, face_opt, mesh, clip_image):
+def _prepare_denoise_state(models, params, ref_image, pose_pixels,
+                           face_embedding, cfg: PipelineConfig, rng,
+                           clip_image=None):
+    """Everything before the Euler loop: conditioning, pose latents, initial
+    noise. Returns (latents, context, image_latents, add_time_ids,
+    pose_latents) — the full carried state of the denoise loop."""
     ref_image = _u8_to_unit(ref_image)
     clip_image = _u8_to_unit(clip_image)
     pose_pixels = _u8_to_sym(pose_pixels)
@@ -599,7 +615,15 @@ def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
     noise = noise * schedule.init_noise_sigma
     reps = f // cfg.tile_size + 1
     latents = jnp.tile(noise, (1, reps, 1, 1, 1))[:, :f]
+    return latents, context, image_latents, add_time_ids, pose_latents
 
+
+def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
+                   cfg: PipelineConfig, rng, face_opt, mesh, clip_image):
+    latents, context, image_latents, add_time_ids, pose_latents = (
+        _prepare_denoise_state(models, params, ref_image, pose_pixels,
+                               face_embedding, cfg, rng, clip_image))
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
     latents = denoise(models, params, latents, context, image_latents,
                       add_time_ids, pose_latents, schedule, cfg,
                       face_opt=face_opt, mesh=mesh)
@@ -608,10 +632,88 @@ def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
 
 _generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5, 7, 8))
 
+_prep_jit = jax.jit(_prepare_denoise_state, static_argnums=(0, 5))
+
+
+def _denoise_segment(models, params, latents, context, image_latents,
+                     add_time_ids, pose_latents, cfg: PipelineConfig,
+                     step_start, num_steps: int, mesh):
+    """`num_steps` Euler steps from schedule index `step_start` (traced), plus
+    the advanced offset — one compiled program serves every segment, and the
+    offset round-trips as a device scalar so segment dispatch moves no
+    host->device data (a scalar upload costs an ~0.3 s RTT on remote TPUs)."""
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+    latents = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule, cfg, mesh=mesh,
+                      step_start=step_start, num_steps=num_steps)
+    return latents, step_start + num_steps
+
+
+_segment_jit = jax.jit(_denoise_segment, static_argnums=(0, 7, 9, 10))
+
+_decode_jit = jax.jit(decode_frames, static_argnums=(0, 3, 4))
+
+
+def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
+                        cfg: PipelineConfig, rng, spd: int, mesh=None,
+                        clip_image=None, progress=None):
+    """generate() in bounded device executions: one prep program, then the
+    Euler loop in host-dispatched segments of `spd` steps (one compiled
+    segment program reused across segments — the step offset is traced),
+    then one decode program.
+
+    Same math as the single-program path (asserted in test_pipeline); the
+    point is that no single device execution runs longer than ~spd steps.
+    A long video's single-program denoise executes for minutes, which trips
+    execution watchdogs on remote-attached TPUs (a 512^2 x 64f x 25-step
+    single program reproducibly killed the worker; 12 steps survived) — and
+    segments give the CLI/server real progress reporting for free.
+
+    progress: optional callable(done_steps, total_steps), called after each
+    segment dispatch (dispatches are async; this reports dispatch progress,
+    not device completion).
+    """
+    from stableanimator_tpu.ops.gate import ACTIVE_MESH
+
+    tok = ACTIVE_MESH.set(mesh) if mesh is not None else None
+    try:
+        latents, context, image_latents, add_time_ids, pose_latents = _prep_jit(
+            models, params, ref_image, pose_pixels, face_embedding, cfg, rng,
+            clip_image)
+        n = cfg.num_inference_steps
+        done = 0
+        offset = jnp.zeros((), jnp.int32)
+        while done < n:
+            k = min(spd, n - done)
+            latents, offset = _segment_jit(
+                models, params, latents, context, image_latents, add_time_ids,
+                pose_latents, cfg, offset, k, mesh)
+            done += k
+            if progress is not None:
+                progress(done, n)
+        return _decode_jit(models, params, latents, cfg, mesh)
+    finally:
+        if tok is not None:
+            ACTIVE_MESH.reset(tok)
+
+
+def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
+    """PipelineConfig.steps_per_dispatch "auto" policy: short videos (<= 4
+    tiles) keep the fastest single-program path; longer ones dispatch 5
+    steps at a time (same cutover as diffusion/tiling.py::auto_tile_batch)."""
+    spd = cfg.steps_per_dispatch
+    if spd != "auto":
+        return spd
+    if cfg.num_frames <= cfg.tile_size:
+        return None
+    n_tiles = tile_indices(cfg.num_frames, cfg.tile_size,
+                           cfg.tile_overlap).shape[0]
+    return None if n_tiles <= 4 else 5
+
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,
              face_embedding, cfg: PipelineConfig | None = None, rng=None,
-             face_opt=None, mesh=None, clip_image=None):
+             face_opt=None, mesh=None, clip_image=None, progress=None):
     """Generate an animation.
 
     ref_image:      [1, H, W, 3] float32 in [0, 1] (generation resolution)
@@ -624,6 +726,9 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     face_opt:       optional FaceOptimizer (HJB identity refinement)
     mesh:           optional Mesh for multi-chip (data x frame) inference;
                     put params on the mesh (parallel.shard_params) first
+    progress:       optional callable(done_steps, total_steps); only called
+                    when cfg.steps_per_dispatch routes to the segmented
+                    long-video path (the default for > 4 tiles)
     returns frames  [F, H, W, 3] float32 in [0, 1]
     """
     cfg = cfg or PipelineConfig()
@@ -642,6 +747,12 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     # sequence-parallel resharding hints.)
     tok = block_temporal_kernel() if mesh is not None else None
     try:
+        spd = resolve_steps_per_dispatch(cfg)
+        if spd is not None and face_opt is None:
+            return _generate_segmented(models, params, ref_image, pose_pixels,
+                                       face_embedding, cfg, rng, spd,
+                                       mesh=mesh, clip_image=clip_image,
+                                       progress=progress)
         if face_opt is not None:
             # the optimizer carries traced arrays + callables; jit a closure
             # over it (one-off compilation per optimizer instance)

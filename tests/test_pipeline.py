@@ -270,6 +270,69 @@ def test_generate_longer_than_tile(tiny_setup):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+def test_generate_segmented_matches_single_program(tiny_setup):
+    """steps_per_dispatch splits the Euler loop into host-dispatched segment
+    programs (one compiled program, traced step offset); the result must
+    match the single-scan program. 3 steps at spd=2 exercises the remainder
+    segment and the offset carry."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(9)
+    ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(4, 64, 64, 3)), jnp.float32)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    cfg = PipelineConfig(num_frames=4, tile_size=4, tile_overlap=1,
+                         num_inference_steps=3, decode_chunk_size=2,
+                         steps_per_dispatch=None)
+    single = generate(models, params, ref_image, pose, face, cfg,
+                      rng=jax.random.PRNGKey(13))
+    seg = generate(models, params, ref_image, pose, face,
+                   dataclasses.replace(cfg, steps_per_dispatch=2),
+                   rng=jax.random.PRNGKey(13))
+    a, b = np.asarray(seg), np.asarray(single)
+    rel_l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+    assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
+    assert np.abs(a - b).max() < 0.06, np.abs(a - b).max()
+
+
+def test_generate_segmented_long_video_progress(tiny_setup):
+    """Long-video (grouped tiles) generation through the segmented path,
+    with the progress callback reporting each segment."""
+    models, params = tiny_setup
+    rng = np.random.default_rng(10)
+    ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(14, 64, 64, 3)), jnp.float32)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    # 14 frames at tile 4 / overlap 1 = 5 tiles -> grouped denoise; spd=2
+    # over 3 steps = 2 segments
+    cfg = PipelineConfig(num_frames=14, tile_size=4, tile_overlap=1,
+                         num_inference_steps=3, decode_chunk_size=2,
+                         steps_per_dispatch=2)
+    seen = []
+    frames = generate(models, params, ref_image, pose, face, cfg,
+                      rng=jax.random.PRNGKey(14),
+                      progress=lambda done, total: seen.append((done, total)))
+    assert frames.shape == (14, 64, 64, 3)
+    assert np.isfinite(np.asarray(frames)).all()
+    assert seen == [(2, 3), (3, 3)]
+
+
+def test_resolve_steps_per_dispatch_policy():
+    from stableanimator_tpu.pipeline import resolve_steps_per_dispatch
+
+    def cfg(frames, **kw):
+        return PipelineConfig(num_frames=frames, tile_size=16, tile_overlap=4,
+                              **kw)
+
+    assert resolve_steps_per_dispatch(cfg(16)) is None     # single tile
+    assert resolve_steps_per_dispatch(cfg(52)) is None     # 4 tiles
+    assert resolve_steps_per_dispatch(cfg(64)) == 5        # 5 tiles
+    assert resolve_steps_per_dispatch(cfg(450)) == 5       # 15 s demo video
+    assert resolve_steps_per_dispatch(
+        cfg(16, steps_per_dispatch=7)) == 7                # explicit wins
+    assert resolve_steps_per_dispatch(
+        cfg(450, steps_per_dispatch=None)) is None         # explicit opt-out
+
+
 def test_decode_frames_uneven_chunks(tiny_setup):
     """f not divisible by decode_chunk_size must decode the remainder as its
     own small chunk (round-1 bug: it silently decoded the whole video in one
