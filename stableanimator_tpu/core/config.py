@@ -225,6 +225,12 @@ class PipelineConfig:
     # picks None for <= 4 tiles and 5 steps/dispatch past that, same
     # long-video cutover as max_tile_batch.
     steps_per_dispatch: int | str | None = "auto"
+    # Emit uint8 frames (0-255) from the decode program instead of fp32
+    # [0,1]: same round-half-up mapping as utils/image.py::frames_to_uint8,
+    # but on device — 1/4 the device->host transfer for consumers that want
+    # pixels anyway (CLI, server, benches). A 450-frame 512^2 video is
+    # 354 MB as uint8 vs 1.4 GB as fp32 across a remote-TPU tunnel.
+    output_uint8: bool = False
 
 
 @dataclass(frozen=True)

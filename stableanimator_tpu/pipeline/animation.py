@@ -541,7 +541,11 @@ def decode_frames(models: AnimationModels, params, latents, cfg: PipelineConfig,
         if rem:
             frames = jnp.concatenate([frames, decode(z[full:], rem)])
     frames = frames.astype(jnp.float32)
-    return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
+    frames = jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
+    if cfg.output_uint8:
+        # utils/image.py::frames_to_uint8 semantics (round half up) on device
+        frames = jnp.clip(frames * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return frames
 
 
 # ---------------------------------------------------------------------------
@@ -654,6 +658,49 @@ _segment_jit = jax.jit(_denoise_segment, static_argnums=(0, 7, 9, 10))
 _decode_jit = jax.jit(decode_frames, static_argnums=(0, 3, 4))
 
 
+def _decode_group(models, params, latents, start, cfg: PipelineConfig,
+                  group: int, mesh):
+    """Decode `group` frames from (traced) frame index `start` — the
+    host-dispatched decode unit of the segmented path. `group` is a multiple
+    of decode_chunk_size, so the chunk boundaries (and therefore the
+    temporal decoder's conv context per chunk) are identical to the
+    single-program decode. Returns (frames, advanced offset) so the offset
+    round-trips as a device scalar (no per-group host->device upload)."""
+    z = jax.lax.dynamic_slice_in_dim(latents, start, group, axis=1)
+    return decode_frames(models, params, z, cfg, mesh=mesh), start + group
+
+
+_decode_group_jit = jax.jit(_decode_group, static_argnums=(0, 4, 5, 6))
+
+
+def _decode_dispatched(models, params, latents, cfg: PipelineConfig, mesh):
+    """Decode in bounded host-dispatched groups when the video is large.
+
+    A long video's batched-or-scanned decode is otherwise ONE device
+    execution that grows linearly with frame count (~100 s at 450 frames,
+    512^2) — the same remote-worker watchdog surface the segmented denoise
+    exists for. Groups are `decode_chunk_size` multiples sized by the
+    existing batched_decode_max_latent_volume knob, so every group decodes
+    as one batched VAE call and chunk semantics match the single-program
+    path exactly (asserted in test_pipeline)."""
+    f = latents.shape[1]
+    chunk = min(cfg.decode_chunk_size, f)
+    h8, w8 = latents.shape[2], latents.shape[3]
+    per = chunk * max(1, cfg.batched_decode_max_latent_volume // max(chunk * h8 * w8, 1))
+    if mesh is not None or f <= per:
+        return _decode_jit(models, params, latents, cfg, mesh)
+    outs = []
+    i = 0
+    start = jnp.zeros((), jnp.int32)
+    while i < f:
+        g = min(per, f - i)
+        out, start = _decode_group_jit(models, params, latents, start, cfg,
+                                       g, mesh)
+        outs.append(out)
+        i += g
+    return jnp.concatenate(outs, axis=0)
+
+
 def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
                         cfg: PipelineConfig, rng, spd: int, mesh=None,
                         clip_image=None, progress=None):
@@ -691,7 +738,7 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
             done += k
             if progress is not None:
                 progress(done, n)
-        return _decode_jit(models, params, latents, cfg, mesh)
+        return _decode_dispatched(models, params, latents, cfg, mesh)
     finally:
         if tok is not None:
             ACTIVE_MESH.reset(tok)

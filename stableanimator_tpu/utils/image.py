@@ -50,8 +50,13 @@ def poses_to_u8_array(images: List[Image.Image]) -> np.ndarray:
 
 
 def frames_to_uint8(frames: np.ndarray) -> List[np.ndarray]:
-    """[F, H, W, 3] float in [0,1] -> list of uint8 HWC arrays."""
-    return [np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8) for f in np.asarray(frames)]
+    """[F, H, W, 3] float in [0,1] -> list of uint8 HWC arrays. uint8 input
+    (from PipelineConfig.output_uint8 device-side conversion) passes
+    through."""
+    frames = np.asarray(frames)
+    if frames.dtype == np.uint8:
+        return list(frames)
+    return [np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8) for f in frames]
 
 
 def export_to_gif(frames: List[np.ndarray], output_path: str, duration_ms: int = 125):

@@ -295,18 +295,21 @@ def test_generate_segmented_matches_single_program(tiny_setup):
 
 
 def test_generate_segmented_long_video_progress(tiny_setup):
-    """Long-video (grouped tiles) generation through the segmented path,
-    with the progress callback reporting each segment."""
+    """Long-video (grouped tiles) generation through the segmented path:
+    progress callback reports each segment, decode runs in host-dispatched
+    groups (batched_decode_max_latent_volume forces 4+4+4+2 frames with a
+    remainder program), and the result matches the single-program path."""
     models, params = tiny_setup
     rng = np.random.default_rng(10)
     ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
     pose = jnp.asarray(rng.uniform(-1, 1, size=(14, 64, 64, 3)), jnp.float32)
     face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
     # 14 frames at tile 4 / overlap 1 = 5 tiles -> grouped denoise; spd=2
-    # over 3 steps = 2 segments
+    # over 3 steps = 2 segments; decode volume 2*(2*64) -> groups of 4
     cfg = PipelineConfig(num_frames=14, tile_size=4, tile_overlap=1,
                          num_inference_steps=3, decode_chunk_size=2,
-                         steps_per_dispatch=2)
+                         steps_per_dispatch=2,
+                         batched_decode_max_latent_volume=2 * 2 * 64)
     seen = []
     frames = generate(models, params, ref_image, pose, face, cfg,
                       rng=jax.random.PRNGKey(14),
@@ -314,6 +317,41 @@ def test_generate_segmented_long_video_progress(tiny_setup):
     assert frames.shape == (14, 64, 64, 3)
     assert np.isfinite(np.asarray(frames)).all()
     assert seen == [(2, 3), (3, 3)]
+
+    single = generate(models, params, ref_image, pose, face,
+                      dataclasses.replace(cfg, steps_per_dispatch=None),
+                      rng=jax.random.PRNGKey(14))
+    a, b = np.asarray(frames), np.asarray(single)
+    rel_l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+    assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
+
+
+def test_output_uint8_matches_host_conversion(tiny_setup):
+    """cfg.output_uint8 converts to pixels inside the decode program with
+    frames_to_uint8 semantics (round half up); device fp32 vs numpy's
+    float64 promotion can differ by at most one code at rounding
+    boundaries."""
+    from stableanimator_tpu.utils.image import frames_to_uint8
+
+    models, params = tiny_setup
+    rng = np.random.default_rng(11)
+    ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(4, 64, 64, 3)), jnp.float32)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    cfg = PipelineConfig(num_frames=4, tile_size=4, tile_overlap=1,
+                         num_inference_steps=2, decode_chunk_size=2)
+    f32 = generate(models, params, ref_image, pose, face, cfg,
+                   rng=jax.random.PRNGKey(15))
+    u8 = generate(models, params, ref_image, pose, face,
+                  dataclasses.replace(cfg, output_uint8=True),
+                  rng=jax.random.PRNGKey(15))
+    assert u8.dtype == jnp.uint8
+    host = np.stack(frames_to_uint8(np.asarray(f32, np.float32)))
+    diff = np.abs(np.asarray(u8).astype(np.int16) - host.astype(np.int16))
+    assert diff.max() <= 1, diff.max()
+    # pass-through: uint8 input comes back as a list of uint8 frames
+    back = frames_to_uint8(np.asarray(u8))
+    assert back[0].dtype == np.uint8 and len(back) == 4
 
 
 def test_resolve_steps_per_dispatch_policy():

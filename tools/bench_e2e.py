@@ -174,7 +174,11 @@ def main():
         height=args.height, width=args.width, num_frames=args.frames,
         tile_size=args.tile_size, tile_overlap=args.tile_overlap,
         num_inference_steps=args.steps,
-        decode_chunk_size=args.decode_chunk_size)
+        decode_chunk_size=args.decode_chunk_size,
+        # uint8 pixels out of the decode program: 1/4 the fetch bytes (the
+        # CLI/server production setting; a 450f 512^2 fetch is 354 MB vs
+        # 1.4 GB fp32 through the tunnel)
+        output_uint8=True)
 
     def one_pass(seed):
         """Full pipeline; returns (pose_s, face_s, generate_s, export_s)."""
@@ -214,7 +218,7 @@ def main():
             jnp.asarray(pose_arr), jnp.asarray(emb[None]),
             cfg, rng=jax.random.PRNGKey(seed))
         # pure transfer = the only true sync on the remote platform
-        frames_np = np.asarray(out, np.float32)
+        frames_np = np.asarray(out)
         gen_s = time.time() - t
 
         t = time.time()
