@@ -222,8 +222,10 @@ class PipelineConfig:
     # generate reproducibly kills the worker; 12 steps survive). Segment
     # dispatch costs ~40 ms each — noise next to multi-second segments — and
     # gives the CLI/server real progress reporting. "auto" (the default)
-    # picks None for <= 4 tiles and 5 steps/dispatch past that, same
-    # long-video cutover as max_tile_batch.
+    # picks None for <= 4 tiles, then sizes segments inversely with the
+    # per-step tile-group count so one execution stays ~bounded (5
+    # steps/dispatch at 5 tiles, 1 at the 450-frame demo scale; see
+    # pipeline.resolve_steps_per_dispatch).
     steps_per_dispatch: int | str | None = "auto"
     # Emit uint8 frames (0-255) from the decode program instead of fp32
     # [0,1]: same round-half-up mapping as utils/image.py::frames_to_uint8,

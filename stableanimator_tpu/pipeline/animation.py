@@ -745,9 +745,17 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
 
 
 def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
-    """PipelineConfig.steps_per_dispatch "auto" policy: short videos (<= 4
-    tiles) keep the fastest single-program path; longer ones dispatch 5
-    steps at a time (same cutover as diffusion/tiling.py::auto_tile_batch)."""
+    """PipelineConfig.steps_per_dispatch "auto" policy.
+
+    Short videos (<= 4 tiles) keep the fastest single-program path (same
+    cutover as diffusion/tiling.py::auto_tile_batch). Past that, the segment
+    size scales INVERSELY with the per-step work so the device time of one
+    segment execution stays roughly constant: one step of a grouped denoise
+    costs n_groups UNet group-calls (~0.6 s each at 512^2), and executions
+    beyond ~35-60 s trip remote-worker watchdogs (measured: a 5-step
+    segment at 450 frames = 19 groups x 5 steps ~ 57 s crashed the worker;
+    5-step segments at 64 frames = 3 groups ~ 9 s ran fine). Budget ~15
+    group-calls per segment: 64f -> 5 steps/dispatch, 450f -> 1."""
     spd = cfg.steps_per_dispatch
     if spd != "auto":
         return spd
@@ -755,7 +763,12 @@ def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
         return None
     n_tiles = tile_indices(cfg.num_frames, cfg.tile_size,
                            cfg.tile_overlap).shape[0]
-    return None if n_tiles <= 4 else 5
+    if n_tiles <= 4:
+        return None
+    mtb = (auto_tile_batch(cfg.num_frames, cfg.tile_size, cfg.tile_overlap)
+           if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
+    n_groups = -(-n_tiles // mtb) if mtb else 1
+    return max(1, min(5, 15 // n_groups))
 
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,

@@ -363,8 +363,10 @@ def test_resolve_steps_per_dispatch_policy():
 
     assert resolve_steps_per_dispatch(cfg(16)) is None     # single tile
     assert resolve_steps_per_dispatch(cfg(52)) is None     # 4 tiles
-    assert resolve_steps_per_dispatch(cfg(64)) == 5        # 5 tiles
-    assert resolve_steps_per_dispatch(cfg(450)) == 5       # 15 s demo video
+    assert resolve_steps_per_dispatch(cfg(64)) == 5        # 5 tiles, 3 groups
+    # 15 s demo video: 38 tiles -> 19 groups/step -> 1 step per dispatch
+    # (a 5-step segment at this scale = ~57 s device execution = watchdog)
+    assert resolve_steps_per_dispatch(cfg(450)) == 1
     assert resolve_steps_per_dispatch(
         cfg(16, steps_per_dispatch=7)) == 7                # explicit wins
     assert resolve_steps_per_dispatch(
