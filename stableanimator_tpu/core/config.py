@@ -223,7 +223,7 @@ class PipelineConfig:
     # dispatch costs ~40 ms each — noise next to multi-second segments — and
     # gives the CLI/server real progress reporting. "auto" (the default)
     # picks None for <= 4 tiles, then sizes segments inversely with the
-    # per-step tile-group count so one execution stays ~bounded (5
+    # per-step tile-slot count so one execution stays ~bounded (5
     # steps/dispatch at 5 tiles, 1 at the 450-frame demo scale; see
     # pipeline.resolve_steps_per_dispatch).
     steps_per_dispatch: int | str | None = "auto"

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import sys
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -426,6 +429,22 @@ def _denoise_grouped(models, params, latents, context, image_latents,
     tiles_g = jnp.asarray(tiles_p.reshape(n_groups, g, tile))
     mask_g = jnp.asarray(mask_p.reshape(n_groups, g))
 
+    # gather the per-group pose latents ONCE, outside the step scan, and
+    # feed them as scan xs. The previous formulation gathered
+    # pose_latents[tg] inside the group scan body: per-call gather traffic
+    # single-chip, and under a mesh SPMD all-gathered the ENTIRE
+    # frame-sharded pose table every group call (lowered: 2.36 GB x 19
+    # groups x 25 steps ~ 1.07 TB of all-gathers at 450f; this hoist makes
+    # the exchange one gather per program). [n_groups, g, T, h, w, c0],
+    # the T axis sharded like the UNet batch's frame axis.
+    pose_groups = pose_latents[tiles_p.reshape(-1)].reshape(
+        (n_groups, g, tile) + pose_latents.shape[1:])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pose_groups = jax.lax.with_sharding_constraint(
+            pose_groups, NamedSharding(mesh, P(None, None, "frame")))
+
     # group-constant conditioning: [2g, ...] with uncond halves first, like
     # the batched path (uncond drops the pose AND carries the zeroed face
     # tokens baked into context[0]; reference :663-671)
@@ -447,7 +466,7 @@ def _denoise_grouped(models, params, latents, context, image_latents,
         lat_in = scale_model_input(lat, sigma)[0]          # [F, h, w, 4]
 
         def tile_group(acc, xs):
-            tg, mg = xs                                    # [g, T], [g]
+            tg, mg, pose_gs = xs                           # [g,T], [g], [g,T,...]
             x_t = lat_in[tg]                               # [g, T, h, w, 4]
             img_u = jnp.zeros(x_t.shape[:-1] + (img_cond.shape[-1],), x_t.dtype)
             img_c = jnp.broadcast_to(
@@ -456,7 +475,7 @@ def _denoise_grouped(models, params, latents, context, image_latents,
                 jnp.concatenate([x_t, img_u], axis=-1),
                 jnp.concatenate([x_t, img_c], axis=-1),
             ], axis=0)                                     # [2g, T, h, w, 8]
-            pose_g = pose_latents[tg.reshape(-1)]          # [g*T, h, w, c0]
+            pose_g = pose_gs.reshape((-1,) + pose_gs.shape[2:])
             pose_b = jnp.concatenate(
                 [jnp.zeros_like(pose_g), pose_g], axis=0)
             if mesh is not None:
@@ -483,7 +502,7 @@ def _denoise_grouped(models, params, latents, context, image_latents,
 
         zero = jnp.zeros((f,) + lat.shape[2:], jnp.float32)
         (acc_u, acc_c), _ = jax.lax.scan(
-            tile_group, (zero, zero), (tiles_g, mask_g))
+            tile_group, (zero, zero), (tiles_g, mask_g, pose_groups))
         noise_uncond = acc_u / counts_j[:, None, None, None]
         noise_cond = acc_c / counts_j[:, None, None, None]
         noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
@@ -701,6 +720,17 @@ def _decode_dispatched(models, params, latents, cfg: PipelineConfig, mesh):
     return jnp.concatenate(outs, axis=0)
 
 
+def _phase_mark(name: str, t0: float, arr) -> float:
+    """SA_PHASE_TIMING=1 diagnostic: force completion of `arr` (fetch one
+    element — the only true sync on remote-attached TPUs, ~0.3 s RTT) and
+    log the elapsed phase time. Costs ~1 s total per generate; OFF by
+    default because the syncs serialize phases the scheduler could overlap."""
+    jax.device_get(arr[(0,) * arr.ndim])
+    t = time.time()
+    print(f"[phase] {name}: {t - t0:.2f}s", file=sys.stderr, flush=True)
+    return t
+
+
 def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
                         cfg: PipelineConfig, rng, spd: int, mesh=None,
                         clip_image=None, progress=None):
@@ -723,10 +753,14 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
     from stableanimator_tpu.ops.gate import ACTIVE_MESH
 
     tok = ACTIVE_MESH.set(mesh) if mesh is not None else None
+    timing = os.environ.get("SA_PHASE_TIMING", "0") == "1"
+    t0 = time.time() if timing else 0.0
     try:
         latents, context, image_latents, add_time_ids, pose_latents = _prep_jit(
             models, params, ref_image, pose_pixels, face_embedding, cfg, rng,
             clip_image)
+        if timing:
+            t0 = _phase_mark("prep(+pose_net)", t0, latents)
         n = cfg.num_inference_steps
         done = 0
         offset = jnp.zeros((), jnp.int32)
@@ -738,7 +772,12 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
             done += k
             if progress is not None:
                 progress(done, n)
-        return _decode_dispatched(models, params, latents, cfg, mesh)
+        if timing:
+            t0 = _phase_mark(f"denoise({n} steps)", t0, latents)
+        out = _decode_dispatched(models, params, latents, cfg, mesh)
+        if timing:
+            _phase_mark("decode", t0, out)
+        return out
     finally:
         if tok is not None:
             ACTIVE_MESH.reset(tok)
@@ -750,12 +789,12 @@ def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
     Short videos (<= 4 tiles) keep the fastest single-program path (same
     cutover as diffusion/tiling.py::auto_tile_batch). Past that, the segment
     size scales INVERSELY with the per-step work so the device time of one
-    segment execution stays roughly constant: one step of a grouped denoise
-    costs n_groups UNet group-calls (~0.6 s each at 512^2), and executions
-    beyond ~35-60 s trip remote-worker watchdogs (measured: a 5-step
-    segment at 450 frames = 19 groups x 5 steps ~ 57 s crashed the worker;
-    5-step segments at 64 frames = 3 groups ~ 9 s ran fine). Budget ~15
-    group-calls per segment: 64f -> 5 steps/dispatch, 450f -> 1."""
+    segment execution stays roughly constant: each padded tile-slot costs
+    ~0.37 s of UNet compute per step at 512^2, and executions beyond
+    ~35-60 s trip remote-worker watchdogs (measured: a 5-step segment at
+    450 frames = 190 slots ~ 57 s crashed the worker; 5-step segments at
+    64 frames = 30 slots ~ 9 s ran fine). Budget ~30 tile-slots (~11 s)
+    per segment: 64f -> 5 steps/dispatch, 450f -> 1."""
     spd = cfg.steps_per_dispatch
     if spd != "auto":
         return spd
@@ -767,8 +806,8 @@ def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
         return None
     mtb = (auto_tile_batch(cfg.num_frames, cfg.tile_size, cfg.tile_overlap)
            if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
-    n_groups = -(-n_tiles // mtb) if mtb else 1
-    return max(1, min(5, 15 // n_groups))
+    slots_per_step = (-(-n_tiles // mtb) * mtb) if mtb else n_tiles
+    return max(1, min(5, 30 // slots_per_step))
 
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,

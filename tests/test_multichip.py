@@ -110,6 +110,62 @@ class TestProConfigLowering:
         # measured on jax 0.8: 447 collective-permutes, 115 all-gathers,
         # 392 all-reduces, 52 all-to-alls; compile ~53 s (cached afterwards)
 
+    def test_longvid_450f_segment_compiles_with_collectives(self):
+        """The 450-frame demo's dispatch unit (one segment of the grouped
+        denoise: 19 groups x 2 tiles at 512^2) lowers and compiles on the
+        2x4 mesh — the multi-chip path for the reference's 15 s demo video
+        (README.md:367). Compiling the SEGMENT (not the whole generate)
+        matches production: _generate_segmented dispatches this exact
+        program per step at 450f."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stableanimator_tpu.ops.gate import ACTIVE_MESH
+        from stableanimator_tpu.pipeline.animation import (
+            _denoise_segment,
+            init_params,
+        )
+
+        models = build_models(dtype=jnp.bfloat16)
+        h8 = w8 = 512 // 8
+        f = 450
+        cfg = PipelineConfig(height=512, width=512, num_frames=f,
+                             tile_size=16, tile_overlap=4,
+                             num_inference_steps=25, decode_chunk_size=4)
+        mesh = make_mesh(data=2, frame=4)
+        rep = NamedSharding(mesh, P())
+        shapes = jax.eval_shape(lambda: init_params(
+            models, jax.random.PRNGKey(0), height=512, width=512,
+            num_frames=2))
+        params = self._abstract(
+            jax.tree_util.tree_map(
+                lambda s: jax.ShapeDtypeStruct(
+                    s.shape,
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+                shapes), rep)
+        fn = jax.jit(functools.partial(_denoise_segment, models, cfg=cfg,
+                                       num_steps=1, mesh=mesh))
+        tok = ACTIVE_MESH.set(mesh)
+        try:
+            compiled = fn.lower(
+                params,
+                jax.ShapeDtypeStruct((1, f, h8, w8, 4), jnp.float32,
+                                     sharding=rep),
+                jax.ShapeDtypeStruct((2, 5, 1024), jnp.float32, sharding=rep),
+                jax.ShapeDtypeStruct((2, h8, w8, 4), jnp.float32,
+                                     sharding=rep),
+                jax.ShapeDtypeStruct((2, 3), jnp.float32, sharding=rep),
+                jax.ShapeDtypeStruct((f, h8, w8, 320), jnp.float32,
+                                     sharding=rep),
+                step_start=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+            ).compile()
+        finally:
+            ACTIVE_MESH.reset(tok)
+        txt = compiled.as_text()
+        assert txt.count("collective-permute") > 0, "no frame-halo exchanges"
+        assert txt.count("all-reduce") > 0
+
     def test_full_size_train_step_compiles_with_grad_allreduce(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -59,6 +59,9 @@ def parse_args():
                          "antelopev2/ (random init / zero face if missing)")
     ap.add_argument("--runs", type=int, default=2,
                     help="timed e2e repetitions after the compile run")
+    ap.add_argument("--max_tile_batch", type=str, default="auto",
+                    help="tiles per grouped-denoise UNet call for >4-tile "
+                         "videos: 'auto' or an int (A/B knob)")
     return ap.parse_args()
 
 
@@ -99,6 +102,7 @@ def main():
 
     detail = {"height": args.height, "width": args.width,
               "frames": args.frames, "steps": args.steps,
+              "max_tile_batch": args.max_tile_batch,
               "device": str(jax.devices()[0])}
 
     rng = np.random.default_rng(0)
@@ -175,6 +179,8 @@ def main():
         tile_size=args.tile_size, tile_overlap=args.tile_overlap,
         num_inference_steps=args.steps,
         decode_chunk_size=args.decode_chunk_size,
+        max_tile_batch=(args.max_tile_batch if args.max_tile_batch == "auto"
+                        else int(args.max_tile_batch)),
         # uint8 pixels out of the decode program: 1/4 the fetch bytes (the
         # CLI/server production setting; a 450f 512^2 fetch is 354 MB vs
         # 1.4 GB fp32 through the tunnel)

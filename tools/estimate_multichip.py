@@ -102,7 +102,20 @@ def main():
                          "(tools/bench_e2e.py pro config, r3: 33.38)")
     ap.add_argument("--ici_gbps", type=float, default=90.0,
                     help="assumed effective ICI GB/s per chip")
+    ap.add_argument("--workload", default="pro", choices=["pro", "longvid"],
+                    help="pro: 576x1024 x 16f generate. longvid: the "
+                         "450-frame demo's denoise-segment program at 512^2 "
+                         "(the unit production dispatches 25x; single-chip "
+                         "measured 431.9 s generate+decode, "
+                         "E2E_LONGVID_r03_450f.json)")
     args = ap.parse_args()
+    if args.workload == "longvid":
+        args.height, args.width, args.frames = 512, 512, 450
+        if args.single_chip_s == 33.4:  # the pro default was not overridden
+            # SA_PHASE_TIMING device phases of the measured 450f run:
+            # prep 6.0 + denoise 381.0 + decode 11.4 (excludes the ~31 s
+            # tunnel fetch, which a real pod host would not pay)
+            args.single_chip_s = 398.4
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -127,20 +140,65 @@ def main():
             s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype,
             sharding=rep),
         shapes)
-    fn = jax.jit(functools.partial(_generate_impl, models, face_opt=None,
-                                   mesh=mesh, clip_image=None),
-                 static_argnums=(4,))
-    print("[est] compiling sharded pro-config generate on the virtual "
-          "8-device mesh ...", file=sys.stderr, flush=True)
-    compiled = fn.lower(
-        params,
-        jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32, sharding=rep),
-        jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32, sharding=rep),
-        jax.ShapeDtypeStruct((1, 512), jnp.float32, sharding=rep),
-        cfg,
-        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep),
-    ).compile()
-    per_kind, counts = collective_bytes(compiled.as_text(), args.steps)
+    if args.workload == "longvid":
+        # the production dispatch unit at 450f: one grouped-denoise step
+        # (19 groups x 2 tiles); its scan-body collectives scale by --steps
+        from stableanimator_tpu.ops.gate import ACTIVE_MESH
+        from stableanimator_tpu.pipeline.animation import _denoise_segment
+
+        cfg = PipelineConfig(height=h, width=w, num_frames=f, tile_size=16,
+                             tile_overlap=4, num_inference_steps=args.steps,
+                             decode_chunk_size=4)
+        h8, w8 = h // 8, w // 8
+        fn = jax.jit(functools.partial(_denoise_segment, models, cfg=cfg,
+                                       num_steps=1, mesh=mesh))
+        print("[est] compiling sharded 450f denoise segment on the virtual "
+              "8-device mesh ...", file=sys.stderr, flush=True)
+        tok = ACTIVE_MESH.set(mesh)
+        try:
+            compiled = fn.lower(
+                params,
+                jax.ShapeDtypeStruct((1, f, h8, w8, 4), jnp.float32,
+                                     sharding=rep),
+                jax.ShapeDtypeStruct((2, 5, 1024), jnp.float32, sharding=rep),
+                jax.ShapeDtypeStruct((2, h8, w8, 4), jnp.float32,
+                                     sharding=rep),
+                jax.ShapeDtypeStruct((2, 3), jnp.float32, sharding=rep),
+                jax.ShapeDtypeStruct((f, h8, w8, 320), jnp.float32,
+                                     sharding=rep),
+                step_start=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+            ).compile()
+        finally:
+            ACTIVE_MESH.reset(tok)
+        # the segment program IS one step; its inner while loop is the
+        # GROUP scan (19 trips at 450f), so while-body ops scale by the
+        # group count, and the whole segment then runs once per step
+        from stableanimator_tpu.diffusion.tiling import (
+            auto_tile_batch,
+            tile_indices,
+        )
+
+        n_tiles = tile_indices(f, cfg.tile_size, cfg.tile_overlap).shape[0]
+        mtb = auto_tile_batch(f, cfg.tile_size, cfg.tile_overlap) or n_tiles
+        n_groups = -(-n_tiles // mtb)
+        per_kind, counts = collective_bytes(compiled.as_text(), n_groups)
+        per_kind = {k: v * args.steps for k, v in per_kind.items()}
+        counts = {k: v * args.steps for k, v in counts.items()}
+    else:
+        fn = jax.jit(functools.partial(_generate_impl, models, face_opt=None,
+                                       mesh=mesh, clip_image=None),
+                     static_argnums=(4,))
+        print("[est] compiling sharded pro-config generate on the virtual "
+              "8-device mesh ...", file=sys.stderr, flush=True)
+        compiled = fn.lower(
+            params,
+            jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32, sharding=rep),
+            jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32, sharding=rep),
+            jax.ShapeDtypeStruct((1, 512), jnp.float32, sharding=rep),
+            cfg,
+            jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep),
+        ).compile()
+        per_kind, counts = collective_bytes(compiled.as_text(), args.steps)
 
     total_bytes = sum(per_kind.values())
     # bytes above are program-wide tensor sizes; per-chip wire traffic for
@@ -152,7 +210,9 @@ def main():
     compute_s = args.single_chip_s / 8.0
     est = compute_s + comm_s
     out = {
-        "metric": "ESTIMATED_v5e8_pro_generate_seconds",
+        "metric": ("ESTIMATED_v5e8_450f_demo_generate_seconds"
+                   if args.workload == "longvid"
+                   else "ESTIMATED_v5e8_pro_generate_seconds"),
         "value": round(est, 2),
         "unit": "seconds (estimate, not a measurement)",
         "detail": {

@@ -257,6 +257,11 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=25,
+                    help="denoise steps for --what generate. Keep the single "
+                         "program under the ~35-60 s remote-worker watchdog: "
+                         "a 64-frame 25-step generate (~55 s) crashes the "
+                         "worker; 5 steps (~11 s) profiles the same buckets")
     ap.add_argument("--bucket", default=None,
                     help="only list ops whose category matches, e.g. "
                          "'copy/transpose'")
@@ -319,7 +324,8 @@ def main():
                                     cast_fp32_to=jnp.bfloat16)
         pcfg = PipelineConfig(height=args.height, width=args.width,
                               num_frames=f, tile_size=16, tile_overlap=4,
-                              num_inference_steps=25, decode_chunk_size=4)
+                              num_inference_steps=args.steps,
+                              decode_chunk_size=4)
         ref = jnp.full((1, args.height, args.width, 3), 0.5, jnp.float32)
         pose = jnp.full((f, args.height, args.width, 3), -1.0, jnp.float32)
         face = jnp.zeros((1, 512), jnp.float32)
