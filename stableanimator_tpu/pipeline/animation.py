@@ -426,7 +426,6 @@ def _denoise_grouped(models, params, latents, context, image_latents,
         [tiles_np, np.repeat(tiles_np[-1:], pad, axis=0)], axis=0)
     mask_p = np.concatenate(
         [np.ones((n_tiles,), np.float32), np.zeros((pad,), np.float32)])
-    tiles_g = jnp.asarray(tiles_p.reshape(n_groups, g, tile))
     mask_g = jnp.asarray(mask_p.reshape(n_groups, g))
 
     # gather the per-group pose latents ONCE, outside the step scan, and
@@ -465,9 +464,23 @@ def _denoise_grouped(models, params, latents, context, image_latents,
 
         lat_in = scale_model_input(lat, sigma)[0]          # [F, h, w, 4]
 
-        def tile_group(acc, xs):
-            tg, mg, pose_gs = xs                           # [g,T], [g], [g,T,...]
-            x_t = lat_in[tg]                               # [g, T, h, w, 4]
+        # gather ALL tile inputs in one constant-index gather per step and
+        # feed them as scan xs; the while body then reads its slab with a
+        # dynamic-slice. Keeping the gather (traced tg indices), the two
+        # scatter-adds, and the 2x[F,h,w,4] fp32 carried accumulators
+        # INSIDE the body measured ~40 ms/tile-slot of overhead vs the flat
+        # path (profile r3d6); outputs now leave the scan as stacked ys and
+        # one constant-index scatter-add per step does the blend.
+        x_groups = lat_in[tiles_p.reshape(-1)].reshape(
+            (n_groups, g, tile) + lat_in.shape[1:])        # [G, g, T, h, w, 4]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x_groups = jax.lax.with_sharding_constraint(
+                x_groups, NamedSharding(mesh, P(None, None, "frame")))
+
+        def tile_group(_, xs):
+            x_t, mg, pose_gs = xs                          # [g,T,...], [g], [g,T,...]
             img_u = jnp.zeros(x_t.shape[:-1] + (img_cond.shape[-1],), x_t.dtype)
             img_c = jnp.broadcast_to(
                 img_cond, x_t.shape[:-1] + (img_cond.shape[-1],))
@@ -492,17 +505,16 @@ def _denoise_grouped(models, params, latents, context, image_latents,
             # triangular blend weight x padding mask (padded tiles -> 0)
             wm = (weights_j[None, :] *
                   jnp.concatenate([mg, mg])[:, None])[:, :, None, None, None]
-            out = out * wm
-            flat = tg.reshape(-1)
-            acc_u = acc[0].at[flat].add(
-                out[:g].reshape((-1,) + out.shape[2:]))
-            acc_c = acc[1].at[flat].add(
-                out[g:].reshape((-1,) + out.shape[2:]))
-            return (acc_u, acc_c), None
+            return None, out * wm
 
-        zero = jnp.zeros((f,) + lat.shape[2:], jnp.float32)
-        (acc_u, acc_c), _ = jax.lax.scan(
-            tile_group, (zero, zero), (tiles_g, mask_g, pose_groups))
+        _, outs = jax.lax.scan(                            # [G, 2g, T, h, w, 4]
+            tile_group, None, (x_groups, mask_g, pose_groups))
+        flat_idx = tiles_p.reshape(-1)                     # constant indices
+        frame_shape = (-1,) + outs.shape[3:]
+        acc_u = jnp.zeros((f,) + lat.shape[2:], jnp.float32).at[flat_idx].add(
+            outs[:, :g].reshape(frame_shape))
+        acc_c = jnp.zeros((f,) + lat.shape[2:], jnp.float32).at[flat_idx].add(
+            outs[:, g:].reshape(frame_shape))
         noise_uncond = acc_u / counts_j[:, None, None, None]
         noise_cond = acc_c / counts_j[:, None, None, None]
         noise_pred = noise_uncond + guidance[0] * (noise_cond - noise_uncond)
@@ -717,7 +729,15 @@ def _decode_dispatched(models, params, latents, cfg: PipelineConfig, mesh):
                                        g, mesh)
         outs.append(out)
         i += g
-    return jnp.concatenate(outs, axis=0)
+    # fetch per group IN DISPATCH ORDER and concatenate on host: every
+    # dispatch above was async, so group 0's device->host transfer starts
+    # after ~one group of decode and overlaps the rest of the device work
+    # (a single np.asarray of the device concat cannot begin until ALL
+    # groups finish — measured ~20 s serial fetch after an 11 s decode for
+    # 450 uint8 frames at 512^2 through the remote tunnel; the overlap
+    # hides most of the shorter of the two). Long-video generate therefore
+    # returns a HOST array; callers np.asarray the result either way.
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
 
 def _phase_mark(name: str, t0: float, arr) -> float:
@@ -828,7 +848,10 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     progress:       optional callable(done_steps, total_steps); only called
                     when cfg.steps_per_dispatch routes to the segmented
                     long-video path (the default for > 4 tiles)
-    returns frames  [F, H, W, 3] float32 in [0, 1]
+    returns frames  [F, H, W, 3] float32 in [0, 1] (uint8 0-255 when
+                    cfg.output_uint8); long videos on a single chip come
+                    back as a HOST ndarray (per-group fetch overlaps the
+                    device decode), shorter ones as a device array
     """
     cfg = cfg or PipelineConfig()
     if rng is None:

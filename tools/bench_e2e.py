@@ -156,7 +156,18 @@ def main():
         # import for _device_params only; keep its signal handlers inert
         bench.__name__ = "sa_bench"
         spec.loader.exec_module(bench)
-        params = bench._device_params(models, args.height, args.width)
+        # transient RESOURCE_EXHAUSTED happens here when a previous
+        # process's remote session still holds HBM (observed r3d6: the
+        # param-fill checksum OOMed before any model code ran); one
+        # delayed retry rides out the worker-side session GC
+        try:
+            params = bench._device_params(models, args.height, args.width)
+        except Exception as e:  # pragma: no cover - remote-TPU transient
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            _log("param fill hit RESOURCE_EXHAUSTED; retrying in 120s")
+            time.sleep(120)
+            params = bench._device_params(models, args.height, args.width)
     params = jax.device_put(params)
     jax.block_until_ready(params)
     detail["param_load_s"] = round(time.time() - t0, 1)
