@@ -324,6 +324,16 @@ def denoise(models: AnimationModels, params, latents, context, image_latents,
 
     mtb = (auto_tile_batch(f, cfg.tile_size, cfg.tile_overlap)
            if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
+    if mesh is not None and mtb is not None:
+        # under a mesh the grouped UNet batch must be [2, T, ...] — i.e.
+        # groups of ONE tile — so the CFG axis exactly matches the "data"
+        # mesh axis. At 2g > data size GSPMD abandons the sequence-parallel
+        # reshard around every temporal block and all-gathers the frame
+        # axis instead (measured on the lowered 450f segment: 2.25 GB of
+        # frame all-gathers per group call at g=2 vs ZERO at g=1; the
+        # per-call collectives are then only the temporal-conv halo
+        # permutes, same as the flat path).
+        mtb = 1
     n_scan = (schedule.timesteps.shape[0] if num_steps is None else num_steps)
     steps_iter = step_start + jnp.arange(n_scan)
 
@@ -471,11 +481,21 @@ def _denoise_grouped(models, params, latents, context, image_latents,
         # INSIDE the body measured ~40 ms/tile-slot of overhead vs the flat
         # path (profile r3d6); outputs now leave the scan as stacked ys and
         # one constant-index scatter-add per step does the blend.
-        x_groups = lat_in[tiles_p.reshape(-1)].reshape(
-            (n_groups, g, tile) + lat_in.shape[1:])        # [G, g, T, h, w, 4]
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # replicate the (small) scaled latents BEFORE the tile gather:
+            # the gather's overlapping tile windows cross frame-shard
+            # boundaries, and GSPMD otherwise resolves the gather->reshard
+            # chain by fully rematerialising the [G,g,T,h,w,4] result
+            # (~320 MB/step at 450f, SPMD "involuntary full
+            # rematerialization"); replicating the 30 MB source makes the
+            # gather + frame partition purely local
+            lat_in = jax.lax.with_sharding_constraint(
+                lat_in, NamedSharding(mesh, P()))
+        x_groups = lat_in[tiles_p.reshape(-1)].reshape(
+            (n_groups, g, tile) + lat_in.shape[1:])        # [G, g, T, h, w, 4]
+        if mesh is not None:
             x_groups = jax.lax.with_sharding_constraint(
                 x_groups, NamedSharding(mesh, P(None, None, "frame")))
 
@@ -496,6 +516,11 @@ def _denoise_grouped(models, params, latents, context, image_latents,
 
                 batch = jax.lax.with_sharding_constraint(
                     batch, NamedSharding(mesh, P("data", "frame")))
+                # (the [g*T,h,w,c0] pose slab still de-shards at its
+                # reshape — one 84 MB f32 gather per group call, ~80 GB
+                # over the 450f demo; pinning pose_g/pose_b only relocates
+                # the gather to the constraint, so it is left to GSPMD.
+                # ~0.9 s of the v5e-8 estimate — known headroom.)
 
             out = models.unet.apply(
                 {"params": params["unet"]}, batch, t, ctx_pair, ids_pair,

@@ -51,6 +51,41 @@ def test_sharded_generate_matches_single_device():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_grouped_generate_matches_single_device():
+    """Long-video path under a mesh: 23 frames at tile 4/overlap 1 = 8
+    tiles -> grouped denoise (groups of 2) + segmented dispatch — the code
+    path the 450-frame demo takes, which the flat-path equality test above
+    (1 tile) never reaches. Covers the per-step constant-index tile
+    gather/scatter and the hoisted pose-group xs under GSPMD sharding."""
+    from tests.conftest import build_micro_models
+    from stableanimator_tpu.diffusion.tiling import auto_tile_batch
+    from stableanimator_tpu.pipeline.animation import resolve_steps_per_dispatch
+
+    models = build_micro_models()
+    params = fast_init_params(models, height=64, width=64)
+
+    rng = np.random.default_rng(13)
+    f = 23
+    ref = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(f, 64, 64, 3)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+    cfg = PipelineConfig(num_frames=f, tile_size=4, tile_overlap=1,
+                         num_inference_steps=2, decode_chunk_size=2)
+    # preconditions: this config actually routes grouped + segmented
+    assert auto_tile_batch(f, 4, 1) == 2
+    assert resolve_steps_per_dispatch(cfg) is not None
+
+    base = generate(models, params, ref, pose, emb, cfg,
+                    rng=jax.random.PRNGKey(11))
+
+    mesh = make_mesh(data=2, frame=4)
+    sharded_params = shard_params(params, mesh)
+    out = generate(models, sharded_params, ref, pose, emb, cfg,
+                   rng=jax.random.PRNGKey(11), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-3, atol=1e-3)
+
+
 class TestProConfigLowering:
     """Shape-real SPMD compile checks (VERDICT round-2 item #6): the micro
     test above runs at 64^2 where a wrong halo/collective spec could hide;
@@ -112,8 +147,10 @@ class TestProConfigLowering:
 
     def test_longvid_450f_segment_compiles_with_collectives(self):
         """The 450-frame demo's dispatch unit (one segment of the grouped
-        denoise: 19 groups x 2 tiles at 512^2) lowers and compiles on the
-        2x4 mesh — the multi-chip path for the reference's 15 s demo video
+        denoise: 38 groups x 1 tile at 512^2 — under a mesh the group size
+        is forced to 1 so the CFG axis matches the data mesh axis, see
+        pipeline.denoise) lowers and compiles on the 2x4 mesh — the
+        multi-chip path for the reference's 15 s demo video
         (README.md:367). Compiling the SEGMENT (not the whole generate)
         matches production: _generate_segmented dispatches this exact
         program per step at 450f."""

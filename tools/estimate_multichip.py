@@ -106,16 +106,17 @@ def main():
                     help="pro: 576x1024 x 16f generate. longvid: the "
                          "450-frame demo's denoise-segment program at 512^2 "
                          "(the unit production dispatches 25x; single-chip "
-                         "measured 431.9 s generate+decode, "
+                         "measured 410-413 s generate+decode, "
                          "E2E_LONGVID_r03_450f.json)")
     args = ap.parse_args()
     if args.workload == "longvid":
         args.height, args.width, args.frames = 512, 512, 450
         if args.single_chip_s == 33.4:  # the pro default was not overridden
-            # SA_PHASE_TIMING device phases of the measured 450f run:
-            # prep 6.0 + denoise 381.0 + decode 11.4 (excludes the ~31 s
-            # tunnel fetch, which a real pod host would not pay)
-            args.single_chip_s = 398.4
+            # SA_PHASE_TIMING device phases of the measured 450f run
+            # (E2E_LONGVID_r03_450f.json): prep 3.3 + denoise 374.8 +
+            # decode 11.4 (excludes the ~20 s tunnel fetch, which a real
+            # pod host would not pay)
+            args.single_chip_s = 389.5
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -142,7 +143,8 @@ def main():
         shapes)
     if args.workload == "longvid":
         # the production dispatch unit at 450f: one grouped-denoise step
-        # (19 groups x 2 tiles); its scan-body collectives scale by --steps
+        # (38 groups x 1 tile under a mesh; see pipeline.denoise); its
+        # scan-body collectives scale by --steps
         from stableanimator_tpu.ops.gate import ACTIVE_MESH
         from stableanimator_tpu.pipeline.animation import _denoise_segment
 
@@ -179,8 +181,9 @@ def main():
         )
 
         n_tiles = tile_indices(f, cfg.tile_size, cfg.tile_overlap).shape[0]
-        mtb = auto_tile_batch(f, cfg.tile_size, cfg.tile_overlap) or n_tiles
-        n_groups = -(-n_tiles // mtb)
+        # under a mesh the pipeline forces groups of ONE tile (the CFG axis
+        # must match the data mesh axis — see pipeline.denoise)
+        n_groups = n_tiles
         per_kind, counts = collective_bytes(compiled.as_text(), n_groups)
         per_kind = {k: v * args.steps for k, v in per_kind.items()}
         counts = {k: v * args.steps for k, v in counts.items()}
