@@ -32,7 +32,20 @@ def parse_args():
     p.add_argument("--checkpoint_dir", type=str, required=True,
                    help="directory of converted .npz checkpoints (see module docstring)")
     p.add_argument("--reference_image", type=str, required=True)
-    p.add_argument("--pose_control_folder", type=str, required=True)
+    p.add_argument("--pose_control_folder", type=str, default=None,
+                   help="folder of pre-rendered pose skeleton images (the "
+                        "reference's two-script flow: run the skeleton "
+                        "extraction CLI first)")
+    p.add_argument("--driving_video_folder", type=str, default=None,
+                   help="folder of RAW driving frames: DWPose skeleton "
+                        "extraction runs inline (needs --dwpose_dir ONNX), "
+                        "OVERLAPPED with the generate-graph compile — the "
+                        "reference's skeleton_extraction.py + "
+                        "inference_basic.py in one command, with the "
+                        "extraction hidden behind the warmup")
+    p.add_argument("--dwpose_dir", type=str, default=None,
+                   help="dir with yolox_l.onnx + dw-ll_ucoco_384.onnx "
+                        "(default: <checkpoint_dir>/DWPose)")
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=512)
@@ -135,6 +148,10 @@ def load_params(checkpoint_dir: str, models, allow_random_init: bool,
 
 def main():
     args = parse_args()
+    if bool(args.pose_control_folder) == bool(args.driving_video_folder):
+        raise SystemExit("pass exactly one of --pose_control_folder "
+                         "(pre-rendered skeletons) or --driving_video_folder "
+                         "(raw frames; DWPose runs inline)")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
@@ -149,7 +166,6 @@ def main():
         frames_to_uint8,
         load_images_from_folder,
         pil_to_u8_array,
-        poses_to_array,
         poses_to_u8_array,
         save_frames_as_png,
     )
@@ -180,9 +196,57 @@ def main():
 
     ref_pil = Image.open(args.reference_image).convert("RGB")
     ref_pil_sized = ref_pil.resize((args.width, args.height))
-    pose_images = load_images_from_folder(args.pose_control_folder,
-                                          width=args.width, height=args.height)
-    print(f"{len(pose_images)} pose frames at {args.width}x{args.height}")
+
+    # frame COUNT from the directory listing alone — it fixes every compiled
+    # shape, so the generate-graph warm can start before any pixel is read
+    src_folder = args.pose_control_folder or args.driving_video_folder
+    num_frames = len([f for f in os.listdir(src_folder) if f.endswith(".png")])
+    if num_frames == 0:
+        raise SystemExit(f"no .png frames in {src_folder}")
+    print(f"{num_frames} frames at {args.width}x{args.height}")
+
+    cfg = PipelineConfig(
+        height=args.height, width=args.width, num_frames=num_frames,
+        tile_size=args.tile_size, tile_overlap=args.frames_overlap,
+        num_inference_steps=args.num_inference_steps,
+        min_guidance_scale=args.guidance_scale,
+        max_guidance_scale=args.guidance_scale,
+        fps=args.fps, motion_bucket_id=args.motion_bucket_id,
+        noise_aug_strength=args.noise_aug_strength,
+        decode_chunk_size=args.decode_chunk_size,
+        max_tile_batch="auto" if args.max_tile_batch == 0 else args.max_tile_batch,
+        steps_per_dispatch=("auto" if args.steps_per_dispatch == 0 else
+                            None if args.steps_per_dispatch < 0 else
+                            args.steps_per_dispatch),
+        # pixels convert to uint8 on device: 1/4 the device->host fetch
+        output_uint8=True,
+    )
+
+    # Warm the generate graphs on a background thread while the host does
+    # face embedding + pose loading/extraction: compilation runs on the
+    # compile service, so inline DWPose extraction (~59 s at 450 frames)
+    # hides entirely behind the multi-minute cold compile instead of
+    # adding to it. Skipped under face_opt (its closure-jitted program
+    # isn't covered by warm_generate).
+    warm_thread, warm_info = None, {}
+    if args.face_optimize_steps == 0:
+        import threading
+
+        from stableanimator_tpu.pipeline import warm_generate
+
+        clip_shape = (ref_pil.height, ref_pil.width)
+
+        def _warm():
+            try:
+                t = time.time()
+                warm_info.update(warm_generate(models, params, cfg,
+                                               clip_shape=clip_shape))
+                warm_info["seconds"] = round(time.time() - t, 1)
+            except Exception as e:  # surfaced after join; generate still runs
+                warm_info["error"] = repr(e)
+
+        warm_thread = threading.Thread(target=_warm, daemon=True)
+        warm_thread.start()
 
     # face-ID embedding of the reference (reference inference_basic.py:516-535)
     id_dim = models.face_encoder.config.id_embeddings_dim  # 512 (ArcFace) at full scale
@@ -207,26 +271,47 @@ def main():
               "embedding")
         emb = np.zeros((id_dim,), np.float32)
 
-    cfg = PipelineConfig(
-        height=args.height, width=args.width, num_frames=len(pose_images),
-        tile_size=args.tile_size, tile_overlap=args.frames_overlap,
-        num_inference_steps=args.num_inference_steps,
-        min_guidance_scale=args.guidance_scale,
-        max_guidance_scale=args.guidance_scale,
-        fps=args.fps, motion_bucket_id=args.motion_bucket_id,
-        noise_aug_strength=args.noise_aug_strength,
-        decode_chunk_size=args.decode_chunk_size,
-        max_tile_batch="auto" if args.max_tile_batch == 0 else args.max_tile_batch,
-        steps_per_dispatch=("auto" if args.steps_per_dispatch == 0 else
-                            None if args.steps_per_dispatch < 0 else
-                            args.steps_per_dispatch),
-        # pixels convert to uint8 on device: 1/4 the device->host fetch
-        output_uint8=True,
-    )
+    # pose pixels: pre-rendered folder, or inline DWPose over raw frames
+    # (overlapped with the warm thread above). uint8 to the device
+    # (generate converts on-chip, 1/4 the transfer).
+    t_pose = time.time()
+    if args.pose_control_folder:
+        pose_images = load_images_from_folder(args.pose_control_folder,
+                                              width=args.width,
+                                              height=args.height)
+        pose_u8 = poses_to_u8_array(pose_images)
+    else:
+        from stableanimator_tpu.preproc.skeleton_extraction import (
+            get_video_pose)
+        from stableanimator_tpu.preproc.wholebody import WholebodyDetector
 
-    # uint8 to the device (generate converts on-chip, 1/4 the transfer);
-    # the fp32 [-1,1] copy only feeds the host-side face-box extraction
-    pose_u8 = poses_to_u8_array(pose_images)
+        dwpose_dir = args.dwpose_dir or os.path.join(args.checkpoint_dir,
+                                                     "DWPose")
+        det = os.path.join(dwpose_dir, "yolox_l.onnx")
+        pse = os.path.join(dwpose_dir, "dw-ll_ucoco_384.onnx")
+        if not (os.path.exists(det) and os.path.exists(pse)):
+            raise SystemExit(f"--driving_video_folder needs yolox_l.onnx + "
+                             f"dw-ll_ucoco_384.onnx in {dwpose_dir}")
+        driving = [np.asarray(im) for im in load_images_from_folder(
+            args.driving_video_folder, width=args.width, height=args.height)]
+        wb = WholebodyDetector(det, pse)
+        # aligned to the reference body shape, reference-resolution render
+        # (reference DWPose/skeleton_extraction.py:137-178)
+        pose_maps = get_video_pose(wb, driving, np.asarray(ref_pil_sized))
+        pose_u8 = np.transpose(pose_maps, (0, 2, 3, 1)).astype(np.uint8)
+        print(f"DWPose extraction: {len(driving)} frames in "
+              f"{time.time() - t_pose:.1f}s")
+
+    if warm_thread is not None:
+        warm_thread.join()
+        if "error" in warm_info:
+            print(f"WARNING: graph warm failed ({warm_info['error']}); "
+                  f"generate will compile inline")
+        else:
+            print(f"graph warm: {warm_info.get('path')} path, "
+                  f"{warm_info.get('programs')} program(s) in "
+                  f"{warm_info.get('seconds')}s (overlapped with "
+                  f"preprocessing)")
 
     face_opt = None
     if args.face_optimize_steps > 0:
@@ -246,8 +331,8 @@ def main():
                                   start_step=args.face_opt_start_step)
             face_opt = make_face_optimizer(
                 models, params, focfg, load_onnx_function(rec_path), emb,
-                poses_to_array(pose_images), args.height // 8,
-                args.width // 8,
+                pose_u8.astype(np.float32) / 127.5 - 1.0,  # == poses_to_array
+                args.height // 8, args.width // 8,
                 channel_order=args.face_channel_order)
             print(f"HJB face optimization: {focfg.steps} steps/denoise-step, "
                   f"lr={focfg.lr}, from denoise step {focfg.start_step}")
@@ -266,7 +351,7 @@ def main():
         progress=lambda done, total: print(
             f"  denoise step {done}/{total} dispatched", flush=True))
     frames = jax.block_until_ready(frames)
-    print(f"generated {len(pose_images)} frames in {time.time() - t0:.1f}s")
+    print(f"generated {num_frames} frames in {time.time() - t0:.1f}s")
 
     os.makedirs(args.output_dir, exist_ok=True)
     u8 = frames_to_uint8(np.asarray(frames))

@@ -15,16 +15,27 @@ Endpoints:
         "reference": "<base64 PNG/JPEG>",
         "poses": ["<base64 PNG>", ...],          # one per frame
         "format": "mp4" | "gif" | "json",        # default mp4
-        # optional per-request overrides (each new shape combination
-        # compiles a new graph on first use — keep production traffic on
-        # a fixed config and use --warm to pay that compile at startup):
+        "seed": int,                             # free per-request knob
+        # compile-affecting overrides (each new combination costs a full
+        # graph compile, minutes on the remote service — gated, see below):
         "height": int, "width": int, "num_inference_steps": int,
         "tile_size": int, "frames_overlap": int, "decode_chunk_size": int,
-        "guidance_scale": float, "seed": int,
+        "guidance_scale": float,  # static in the jitted config -> recompiles
         "max_tile_batch": int   # 0 = auto (groups of 2 for long videos)
       }
     Responds video/mp4 or image/gif bytes; "json" returns
     {"mp4": "<base64>", "seconds": t}. Errors are JSON with HTTP 4xx/5xx.
+
+Hardening (a compile on this platform takes minutes and runs under the
+chip lock, so unknown shapes are an accidental DoS):
+  * request bodies above --max_request_mb are rejected 413 before the
+    body is read;
+  * height/width must come from the --shape_buckets allowlist (default:
+    the server's own config) — anything else is 400, never a compile;
+  * the other compile-affecting overrides (steps/tile/overlap/decode
+    chunk/guidance/max_tile_batch) are rejected 400 unless
+    --allow_shape_overrides is set; seed/format stay free (no recompile);
+  * frame count is capped by --max_frames (413 above it).
 
 Generation is serialised with a lock (one TPU chip per server process);
 scale horizontally with one process per chip behind any HTTP balancer.
@@ -66,7 +77,47 @@ def parse_args(argv=None):
                    help="compile + run one generation at the default config "
                         "before accepting traffic (first-request latency "
                         "becomes steady-state latency)")
+    p.add_argument("--max_request_mb", type=int, default=256,
+                   help="reject request bodies larger than this (HTTP 413) "
+                        "before reading them")
+    p.add_argument("--max_frames", type=int, default=900,
+                   help="reject requests with more pose frames than this "
+                        "(HTTP 413); 900 = 2x the reference's 15s demo")
+    p.add_argument("--shape_buckets", type=str, default=None,
+                   help="comma-separated HxW allowlist for per-request "
+                        "height/width (e.g. '512x512,576x1024'); default = "
+                        "the server's own --height x --width only. Requests "
+                        "outside the list get HTTP 400, never a compile.")
+    p.add_argument("--allow_shape_overrides", action="store_true",
+                   help="allow per-request overrides of the other "
+                        "compile-affecting knobs (steps/tile/overlap/decode "
+                        "chunk/guidance/max_tile_batch); off by default "
+                        "because every new combination compiles a new graph "
+                        "under the chip lock")
     return p.parse_args(argv)
+
+
+#: request keys that change the static jitted config (a new graph each).
+_COMPILE_KEYS = ("num_inference_steps", "tile_size", "frames_overlap",
+                 "decode_chunk_size", "guidance_scale", "max_tile_batch")
+
+
+def _parse_buckets(args):
+    """-> set of allowed (h, w) pairs from --shape_buckets/--height/--width."""
+    buckets = {(args.height, args.width)}
+    if args.shape_buckets:
+        for tok in args.shape_buckets.split(","):
+            h, w = tok.strip().lower().split("x")
+            buckets.add((int(h), int(w)))
+    return buckets
+
+
+class RequestRejected(ValueError):
+    """Client error carrying its HTTP status (400/413)."""
+
+    def __init__(self, status, msg):
+        super().__init__(msg)
+        self.status = status
 
 
 class AnimationService:
@@ -116,6 +167,7 @@ class AnimationService:
         self.lock = threading.Lock()
         self.requests_served = 0
         self.device = str(jax.devices()[0])
+        self.shape_buckets = _parse_buckets(args)
 
     # -- request handling ---------------------------------------------------
 
@@ -147,6 +199,23 @@ class AnimationService:
             raise ValueError("body needs 'reference' and non-empty 'poses'")
         if h % 64 or w % 64:
             raise ValueError("height/width must be multiples of 64")
+        if (h, w) not in self.shape_buckets:
+            raise RequestRejected(
+                400, f"shape {h}x{w} not in the server's allowlist "
+                     f"{sorted(self.shape_buckets)}; start the server with "
+                     f"--shape_buckets to pre-approve (and --warm to "
+                     f"pre-compile) more buckets")
+        if len(poses_b64) > a.max_frames:
+            raise RequestRejected(
+                413, f"{len(poses_b64)} frames exceeds --max_frames="
+                     f"{a.max_frames}")
+        if not a.allow_shape_overrides:
+            blocked = [k for k in _COMPILE_KEYS if k in req]
+            if blocked:
+                raise RequestRejected(
+                    400, f"override of {blocked} is disabled (each new value "
+                         f"compiles a new graph under the chip lock); start "
+                         f"the server with --allow_shape_overrides to permit")
 
         ref = self._decode_image(req["reference"])
         ref_sized = ref.resize((w, h))
@@ -220,16 +289,18 @@ class AnimationService:
                 "seconds": seconds}
 
     def warm(self):
-        """Pay the default-config compile before accepting traffic."""
+        """Pay every allowlisted bucket's compile before accepting traffic."""
         from PIL import Image
 
         a = self.args
-        blank = Image.new("RGB", (a.width, a.height), (127, 127, 127))
-        b64 = _pil_b64(blank)
-        self.animate({"reference": b64,
-                      "poses": [b64] * a.tile_size,
-                      "format": "json"})
-        self.requests_served -= 1  # warmup is not traffic
+        for h, w in sorted(self.shape_buckets):
+            blank = Image.new("RGB", (w, h), (127, 127, 127))
+            b64 = _pil_b64(blank)
+            self.animate({"reference": b64,
+                          "poses": [b64] * a.tile_size,
+                          "height": h, "width": w,
+                          "format": "json"})
+            self.requests_served -= 1  # warmup is not traffic
 
 
 def _pil_b64(img):
@@ -263,12 +334,26 @@ def make_handler(service: AnimationService):
                 self._send(404, "application/json", b'{"error":"not found"}')
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    n = -1
+                if n < 0:
+                    raise RequestRejected(400, "missing/invalid "
+                                               "Content-Length")
+                limit = service.args.max_request_mb * 1024 * 1024
+                if n > limit:  # reject BEFORE reading the body
+                    raise RequestRejected(
+                        413, f"request body {n} bytes exceeds "
+                             f"--max_request_mb={service.args.max_request_mb}")
                 req = json.loads(self.rfile.read(n) or b"{}")
                 out = service.animate(req)
                 print(f"[serve] /animate {len(req.get('poses') or [])}f "
                       f"in {out['seconds']:.1f}s", flush=True)
                 self._send(200, out["content_type"], out["body"])
+            except RequestRejected as e:
+                self._send(e.status, "application/json",
+                           json.dumps({"error": str(e)}).encode())
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, "application/json",
                            json.dumps({"error": str(e)}).encode())

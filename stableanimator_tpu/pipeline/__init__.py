@@ -9,6 +9,7 @@ from stableanimator_tpu.pipeline.animation import (
     decode_frames,
     generate,
     resolve_steps_per_dispatch,
+    warm_generate,
 )
 from stableanimator_tpu.pipeline.face_opt import (
     FaceOptConfig,

@@ -711,6 +711,27 @@ def _denoise_segment(models, params, latents, context, image_latents,
 
 _segment_jit = jax.jit(_denoise_segment, static_argnums=(0, 7, 9, 10))
 
+
+def _make_face_opt_segment_jit(face_opt):
+    """Segment program with the HJB face-opt inner solver fused into each
+    Euler step. face_opt carries traced arrays (ArcFace weights, target
+    embedding, per-frame face boxes) and callables, so — exactly like the
+    flat path (generate():~face_opt branch) — the optimizer is closed over
+    and jitted per instance: one compilation per optimizer, reused across
+    all segments of the video (the dispatch loop calls this fn ~25 times)."""
+
+    def seg(models, params, latents, context, image_latents, add_time_ids,
+            pose_latents, cfg: PipelineConfig, step_start, num_steps: int,
+            mesh):
+        schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+        latents = denoise(models, params, latents, context, image_latents,
+                          add_time_ids, pose_latents, schedule, cfg,
+                          face_opt=face_opt, mesh=mesh,
+                          step_start=step_start, num_steps=num_steps)
+        return latents, step_start + num_steps
+
+    return jax.jit(seg, static_argnums=(0, 7, 9, 10))
+
 _decode_jit = jax.jit(decode_frames, static_argnums=(0, 3, 4))
 
 
@@ -778,7 +799,7 @@ def _phase_mark(name: str, t0: float, arr) -> float:
 
 def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
                         cfg: PipelineConfig, rng, spd: int, mesh=None,
-                        clip_image=None, progress=None):
+                        clip_image=None, progress=None, face_opt=None):
     """generate() in bounded device executions: one prep program, then the
     Euler loop in host-dispatched segments of `spd` steps (one compiled
     segment program reused across segments — the step offset is traced),
@@ -806,12 +827,14 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
             clip_image)
         if timing:
             t0 = _phase_mark("prep(+pose_net)", t0, latents)
+        seg_fn = (_segment_jit if face_opt is None
+                  else _make_face_opt_segment_jit(face_opt))
         n = cfg.num_inference_steps
         done = 0
         offset = jnp.zeros((), jnp.int32)
         while done < n:
             k = min(spd, n - done)
-            latents, offset = _segment_jit(
+            latents, offset = seg_fn(
                 models, params, latents, context, image_latents, add_time_ids,
                 pose_latents, cfg, offset, k, mesh)
             done += k
@@ -828,7 +851,8 @@ def _generate_segmented(models, params, ref_image, pose_pixels, face_embedding,
             ACTIVE_MESH.reset(tok)
 
 
-def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
+def resolve_steps_per_dispatch(cfg: PipelineConfig,
+                               face_opt_active: bool = False) -> int | None:
     """PipelineConfig.steps_per_dispatch "auto" policy.
 
     Short videos (<= 4 tiles) keep the fastest single-program path (same
@@ -839,7 +863,12 @@ def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
     ~35-60 s trip remote-worker watchdogs (measured: a 5-step segment at
     450 frames = 190 slots ~ 57 s crashed the worker; 5-step segments at
     64 frames = 30 slots ~ 9 s ran fine). Budget ~30 tile-slots (~11 s)
-    per segment: 64f -> 5 steps/dispatch, 450f -> 1."""
+    per segment: 64f -> 5 steps/dispatch, 450f -> 1.
+
+    With the HJB face optimizer active each step additionally decodes +
+    ArcFace-embeds every frame's face crop `steps` times, so the slot
+    budget is halved to keep segment executions inside the same watchdog
+    envelope."""
     spd = cfg.steps_per_dispatch
     if spd != "auto":
         return spd
@@ -852,7 +881,8 @@ def resolve_steps_per_dispatch(cfg: PipelineConfig) -> int | None:
     mtb = (auto_tile_batch(cfg.num_frames, cfg.tile_size, cfg.tile_overlap)
            if cfg.max_tile_batch == "auto" else cfg.max_tile_batch)
     slots_per_step = (-(-n_tiles // mtb) * mtb) if mtb else n_tiles
-    return max(1, min(5, 30 // slots_per_step))
+    budget = 15 if face_opt_active else 30
+    return max(1, min(5, budget // slots_per_step))
 
 
 def generate(models: AnimationModels, params, ref_image, pose_pixels,
@@ -894,12 +924,12 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
     # sequence-parallel resharding hints.)
     tok = block_temporal_kernel() if mesh is not None else None
     try:
-        spd = resolve_steps_per_dispatch(cfg)
-        if spd is not None and face_opt is None:
+        spd = resolve_steps_per_dispatch(cfg, face_opt is not None)
+        if spd is not None:
             return _generate_segmented(models, params, ref_image, pose_pixels,
                                        face_embedding, cfg, rng, spd,
                                        mesh=mesh, clip_image=clip_image,
-                                       progress=progress)
+                                       progress=progress, face_opt=face_opt)
         if face_opt is not None:
             # the optimizer carries traced arrays + callables; jit a closure
             # over it (one-off compilation per optimizer instance)
@@ -910,6 +940,148 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
             return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
         return _generate_jit(models, params, ref_image, pose_pixels,
                              face_embedding, cfg, rng, None, mesh, clip_image)
+    finally:
+        if tok is not None:
+            from stableanimator_tpu.models.transformer import (
+                _TEMPORAL_KERNEL_BLOCKED)
+
+            _TEMPORAL_KERNEL_BLOCKED.reset(tok)
+
+
+def _zeros_on_device(shape, dtype):
+    """Device-side zeros via a tiny jitted fill: warm-up inputs must NOT
+    stream through the host->device tunnel (a 450-frame uint8 pose dummy is
+    354 MB = 5-50 s of transfer at measured tunnel bandwidth; the jitted
+    fill is a one-off trivial compile + zero transfer)."""
+    return jax.jit(lambda: jnp.zeros(shape, dtype))()
+
+
+def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
+                  *, rng=None, mesh=None, uint8_inputs=True, clip_shape=None,
+                  execute: bool | str = "auto"):
+    """Compile every program `generate()` will dispatch for `cfg`, before the
+    real inputs exist — so host-side preprocessing (DWPose extraction,
+    checkpoint IO) can overlap the multi-minute remote compile instead of
+    running serially after it (at 450 frames pose extraction is ~59 s that
+    hides entirely behind the ~180 s compile phase).
+
+    Run this on a background thread while the caller prepares inputs; the
+    later `generate()` call with the same cfg/shapes/dtypes is then
+    compile-free. cfg must carry the real height/width/num_frames.
+
+    execute:
+      "auto" (default) — the segmented long-video programs are additionally
+        dummy-EXECUTED once (prep + one segment per distinct step count +
+        one decode per distinct group size): execution populates the jit
+        signature cache, so the 25-segment dispatch loop later does zero
+        re-tracing. Costs ~one segment of device time (~15 s at 450f).
+        The flat short-video path is compile-only (AOT lower+compile; a
+        dummy execution would run the whole video for nothing).
+      False — compile-only everywhere (later call re-traces but hits the
+        persistent compile cache).
+      True — dummy-execute the segmented path (same as "auto" today).
+
+    Returns a dict of what was warmed (path, program count, executed).
+    """
+    cfg = dataclasses.replace(
+        cfg, tile_size=min(cfg.tile_size, cfg.num_frames))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    h, w, f = cfg.height, cfg.width, cfg.num_frames
+    dt = jnp.uint8 if uint8_inputs else jnp.float32
+    spd = resolve_steps_per_dispatch(cfg)
+    tok = block_temporal_kernel() if mesh is not None else None
+    try:
+        if spd is None:
+            # flat path: one program; AOT compile from shape structs (no
+            # arrays, no transfer). The later real call re-traces but the
+            # backend compile is a persistent-cache hit.
+            ref = jax.ShapeDtypeStruct((1, h, w, 3), dt)
+            pose = jax.ShapeDtypeStruct((f, h, w, 3), dt)
+            emb = jax.ShapeDtypeStruct(
+                (1, models.face_encoder.config.id_embeddings_dim),
+                jnp.float32)
+            clip = (None if clip_shape is None else
+                    jax.ShapeDtypeStruct((1, *clip_shape, 3), dt))
+            _generate_jit.lower(models, params, ref, pose, emb, cfg, rng,
+                                None, mesh, clip).compile()
+            return {"path": "flat", "programs": 1, "executed": False}
+
+        do_exec = execute in ("auto", True)
+        ref = _zeros_on_device((1, h, w, 3), dt)
+        pose = _zeros_on_device((f, h, w, 3), dt)
+        emb = _zeros_on_device(
+            (1, models.face_encoder.config.id_embeddings_dim), jnp.float32)
+        clip = (None if clip_shape is None else
+                _zeros_on_device((1, *clip_shape, 3), dt))
+        from stableanimator_tpu.ops.gate import ACTIVE_MESH
+
+        mtok = ACTIVE_MESH.set(mesh) if mesh is not None else None
+        programs = 0
+        try:
+            if do_exec:
+                state = _prep_jit(models, params, ref, pose, emb, cfg, rng,
+                                  clip)
+                latents, context, image_latents, add_time_ids, pose_lat = state
+            else:
+                _prep_jit.lower(models, params, ref, pose, emb, cfg, rng,
+                                clip).compile()
+            programs += 1
+
+            # distinct segment lengths the dispatch loop will use
+            n = cfg.num_inference_steps
+            ks = {min(spd, n)}
+            if n % spd:
+                ks.add(n % spd)
+            offset = jnp.zeros((), jnp.int32)
+            for k in sorted(ks, reverse=True):
+                if do_exec:
+                    latents, offset = _segment_jit(
+                        models, params, latents, context, image_latents,
+                        add_time_ids, pose_lat, cfg, offset, k, mesh)
+                else:
+                    _segment_jit.lower(
+                        models, params, latents, context, image_latents,
+                        add_time_ids, pose_lat, cfg, offset, k, mesh
+                    ).compile()
+                programs += 1
+
+            # distinct decode programs (mirror _decode_dispatched)
+            h8, w8 = h // 8, w // 8
+            chunk = min(cfg.decode_chunk_size, f)
+            per = chunk * max(1, cfg.batched_decode_max_latent_volume
+                              // max(chunk * h8 * w8, 1))
+            if mesh is not None or f <= per:
+                if do_exec:
+                    out = _decode_jit(models, params, latents, cfg, mesh)
+                else:
+                    _decode_jit.lower(models, params, latents, cfg,
+                                      mesh).compile()
+                programs += 1
+            else:
+                gs = {per}
+                if f % per:
+                    gs.add(f % per)
+                start = jnp.zeros((), jnp.int32)
+                out = None
+                for g in sorted(gs, reverse=True):
+                    if do_exec:
+                        out, start = _decode_group_jit(models, params,
+                                                       latents, start, cfg,
+                                                       g, mesh)
+                    else:
+                        _decode_group_jit.lower(models, params, latents,
+                                                start, cfg, g, mesh).compile()
+                    programs += 1
+            if do_exec:
+                # one-element fetch = the only true sync on remote TPUs;
+                # the caller's join() then means "the chip is idle again"
+                jax.device_get(out[(0,) * out.ndim])
+            return {"path": "segmented", "programs": programs,
+                    "executed": bool(do_exec)}
+        finally:
+            if mtok is not None:
+                ACTIVE_MESH.reset(mtok)
     finally:
         if tok is not None:
             from stableanimator_tpu.models.transformer import (

@@ -108,9 +108,16 @@ class PersonDetector:
         self._fn = load_onnx_function(onnx_path).jitted(
             pre=lambda x: x.astype(jnp.float32))
 
+    #: Per-frame person cap: every surviving box becomes a 192x256 pose
+    #: crop, so an untrained/degenerate detector emitting hundreds of
+    #: spurious boxes would inflate the downstream crop batch ~Nx (measured
+    #: ~2x pose-throughput loss with stand-in weights at 1024x576). Real
+    #: workloads are 1-few people; 10 is far above any sane frame.
+    MAX_PERSONS_PER_FRAME = 10
+
     def _postprocess(self, raw_one: np.ndarray, ratio: float,
                      nms_thr: float, score_thr: float,
-                     final_thr: float) -> np.ndarray:
+                     final_thr: float, max_det: int | None = None) -> np.ndarray:
         preds = decode_outputs(raw_one[None], self.input_size)[0]
         boxes = preds[:, :4]
         scores = preds[:, 4:5] * preds[:, 5:]
@@ -124,13 +131,19 @@ class PersonDetector:
         if dets is None:
             return np.zeros((0, 4), np.float32)
         keep = (dets[:, 4] > final_thr) & (dets[:, 5] == 0)  # person class
-        return dets[keep, :4]
+        dets = dets[keep]
+        cap = self.MAX_PERSONS_PER_FRAME if max_det is None else max_det
+        if len(dets) > cap:  # keep the most confident persons only
+            dets = dets[np.argsort(dets[:, 4])[::-1][:cap]]
+        return dets[:, :4]
 
     def __call__(self, image_rgb: np.ndarray,
-                 nms_thr=0.45, score_thr=0.1, final_thr=0.3) -> np.ndarray:
+                 nms_thr=0.45, score_thr=0.1, final_thr=0.3,
+                 max_det: int | None = None) -> np.ndarray:
         img, ratio = letterbox(image_rgb, self.input_size)
         raw = np.asarray(self._fn(img[None])[0])
-        return self._postprocess(raw[0], ratio, nms_thr, score_thr, final_thr)
+        return self._postprocess(raw[0], ratio, nms_thr, score_thr, final_thr,
+                                 max_det)
 
     # Upper bound on frames per network call: an unbounded pow2 pad turns a
     # several-hundred-frame clip into a 512x3x640x640 fp32 batch (+ YOLOX
@@ -139,7 +152,7 @@ class PersonDetector:
     MAX_FRAME_BATCH = 64
 
     def detect_batch(self, frames_rgb, nms_thr=0.45, score_thr=0.1,
-                     final_thr=0.3):
+                     final_thr=0.3, max_det: int | None = None):
         """All frames of a clip through batched network calls (padded to
         power-of-two buckets, chunked at MAX_FRAME_BATCH). Letterbox + NMS
         stay host-side (tiny); returns a list of [N_i, 4] person boxes per
@@ -158,6 +171,7 @@ class PersonDetector:
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
             raw = np.asarray(self._fn(batch)[0])[:n]
             out.extend(self._postprocess(raw[i], prepped[i][1],
-                                         nms_thr, score_thr, final_thr)
+                                         nms_thr, score_thr, final_thr,
+                                         max_det)
                        for i in range(n))
         return out

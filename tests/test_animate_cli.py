@@ -58,3 +58,59 @@ def test_animate_cli_end_to_end_micro(tmp_path, monkeypatch):
     frame = np.asarray(Image.open(out / "animated_images" / pngs[0]))
     assert frame.shape == (64, 64, 3)
     assert frame.std() > 0
+
+
+def test_animate_cli_driving_video_inline_dwpose(tmp_path, monkeypatch):
+    """--driving_video_folder: raw frames in, DWPose skeleton extraction
+    runs inline (stand-in ONNX) overlapped with the generate-graph warm —
+    the reference's skeleton_extraction.py + inference_basic.py flow in one
+    command."""
+    from PIL import Image
+
+    from tools.bench_preproc import _standin_paths
+
+    rng = np.random.default_rng(1)
+    ckpt = tmp_path / "ckpt"
+    driving = tmp_path / "driving"
+    out = tmp_path / "out"
+    ckpt.mkdir()
+    driving.mkdir()
+    dwpose = ckpt / "DWPose"
+    dwpose.mkdir()
+    standin = tmp_path / "standin"
+    standin.mkdir()
+    det, pose = _standin_paths(str(standin))
+    os.replace(det, dwpose / "yolox_l.onnx")
+    os.replace(pose, dwpose / "dw-ll_ucoco_384.onnx")
+
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        tmp_path / "reference.png")
+    for i in range(4):  # zeros: stand-in detector finds nothing -> full-img
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+            driving / f"frame_{i}.png")
+
+    from stableanimator_tpu.cli import animate as cli
+
+    monkeypatch.setattr("sys.argv", ["animate.py",
+        "--checkpoint_dir", str(ckpt),
+        "--reference_image", str(tmp_path / "reference.png"),
+        "--driving_video_folder", str(driving),
+        "--output_dir", str(out),
+        "--height", "64", "--width", "64",
+        "--tile_size", "4", "--frames_overlap", "1",
+        "--num_inference_steps", "2", "--decode_chunk_size", "2",
+        "--allow_random_init", "--model_scale", "micro"])
+    cli.main()
+
+    assert (out / "animation_video.mp4").exists()
+    assert len(os.listdir(out / "animated_images")) == 4
+
+
+def test_animate_cli_rejects_both_pose_sources(tmp_path, monkeypatch):
+    from stableanimator_tpu.cli import animate as cli
+
+    monkeypatch.setattr("sys.argv", ["animate.py",
+        "--checkpoint_dir", str(tmp_path), "--reference_image", "r.png",
+        "--output_dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main()

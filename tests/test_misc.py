@@ -203,6 +203,37 @@ def test_bench_micro_smoke():
     assert rec["detail"]["all_runs_s"]
 
 
+@pytest.mark.slow
+def test_bench_e2e_micro_smoke():
+    """bench_e2e's control flow — warm-overlapped compile pass (pose
+    extraction under the generate-graph warm), serial timed runs, and the
+    pipelined-videos mode — exercised end-to-end with micro models on CPU
+    so a flow regression can't burn an on-chip 450-frame run."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "bench_e2e.py"),
+         "--cpu", "--model_scale", "micro", "--height", "64", "--width", "64",
+         "--frames", "14", "--steps", "3", "--tile_size", "4",
+         "--tile_overlap", "1", "--decode_chunk_size", "2", "--runs", "1",
+         "--pipelined", "2"],
+        cwd=root, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+    d = rec["detail"]
+    # 14f/tile4 routes segmented -> the warm dummy-executes the programs
+    assert d["warm"]["path"] == "segmented" and d["warm"]["executed"]
+    assert "error" not in d["warm"]
+    assert d["pipelined"]["videos"] == 2
+    assert len(d["pipelined"]["per_video_generate_export_s"]) == 2
+    assert d["pipelined"]["seconds_per_video_steady"] > 0
+
+
 class TestBenchToolHelpers:
     """The bench tools double as regression oracles; their formulation
     helpers must stay numerically equal to the model's direct path."""

@@ -328,6 +328,47 @@ def test_generate_segmented_long_video_progress(tiny_setup):
     assert rel_l2 < 4e-3, f"rel L2 {rel_l2:.2e}"
 
 
+def test_warm_generate_covers_both_paths(tiny_setup):
+    """warm_generate pre-compiles exactly the programs generate() dispatches
+    (flat AOT; segmented dummy-executed), and a subsequent real generate()
+    returns the same frames as a cold one — the warm must be semantically
+    invisible."""
+    from stableanimator_tpu.pipeline import warm_generate
+
+    models, params = tiny_setup
+    rng = np.random.default_rng(21)
+    ref_image = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    face = jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)
+
+    # segmented long-video config (5 tiles -> grouped, spd=2, decode groups)
+    pose = jnp.asarray(rng.uniform(-1, 1, size=(14, 64, 64, 3)), jnp.float32)
+    cfg = PipelineConfig(num_frames=14, height=64, width=64, tile_size=4,
+                         tile_overlap=1, num_inference_steps=3,
+                         decode_chunk_size=2, steps_per_dispatch=2,
+                         batched_decode_max_latent_volume=2 * 2 * 64)
+    info = warm_generate(models, params, cfg, uint8_inputs=False)
+    assert info["path"] == "segmented" and info["executed"]
+    # prep + segments {2,1} + decode groups {4,2} = 5 programs
+    assert info["programs"] == 5
+    warm = generate(models, params, ref_image, pose, face, cfg,
+                    rng=jax.random.PRNGKey(14))
+    cold = generate(models, params, ref_image, pose, face, cfg,
+                    rng=jax.random.PRNGKey(14))
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
+
+    # flat short-video config: AOT compile only
+    pose4 = jnp.asarray(rng.uniform(-1, 1, size=(4, 64, 64, 3)), jnp.float32)
+    cfg4 = PipelineConfig(num_frames=4, height=64, width=64, tile_size=4,
+                          tile_overlap=1, num_inference_steps=2,
+                          decode_chunk_size=2)
+    info4 = warm_generate(models, params, cfg4, uint8_inputs=False)
+    assert info4 == {"path": "flat", "programs": 1, "executed": False}
+    out = generate(models, params, ref_image, pose4, face, cfg4,
+                   rng=jax.random.PRNGKey(3))
+    assert out.shape == (4, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_output_uint8_matches_host_conversion(tiny_setup):
     """cfg.output_uint8 converts to pixels inside the decode program with
     frames_to_uint8 semantics (round half up); device fp32 vs numpy's

@@ -62,6 +62,33 @@ class TestGeometry:
         np.testing.assert_allclose(dec[0, 0, :2], [4.0, 4.0])
         np.testing.assert_allclose(dec[0, 0, 2:4], [16.0, 16.0])
 
+    def test_person_cap_bounds_degenerate_detections(self):
+        """A pathological detector output (many confident non-overlapping
+        boxes — exactly what stand-in weights produce) must not inflate the
+        downstream pose-crop batch: _postprocess keeps only the
+        MAX_PERSONS_PER_FRAME most confident persons."""
+        det = PersonDetector.__new__(PersonDetector)  # geometry only
+        det.input_size = (32, 32)
+        raw = np.zeros((21, 85), np.float32)
+        # all 16 stride-8 cells emit a confident 4x4 person box; grid
+        # centers are 8 px apart so NMS suppresses nothing
+        raw[:16, 2:4] = np.log(0.5)          # wh = 4 px
+        raw[:16, 4] = 1.0                    # objectness
+        raw[:16, 5] = 0.5 + np.arange(16) * 0.02  # person score ramp
+        boxes = det._postprocess(raw, ratio=1.0, nms_thr=0.45,
+                                 score_thr=0.1, final_thr=0.3)
+        assert len(boxes) == PersonDetector.MAX_PERSONS_PER_FRAME
+        # the survivors are the top-scoring cells (highest = last cells)
+        # cell i center = (grid * stride) = (8*(i%4), 8*(i//4)); top-10 =
+        # cells 6..15
+        got_centers = sorted((boxes[:, 0] + boxes[:, 2]) / 2
+                             + 100 * (boxes[:, 1] + boxes[:, 3]) / 2)
+        want = sorted(8 * (i % 4) + 100 * 8 * (i // 4) for i in range(6, 16))
+        np.testing.assert_allclose(got_centers, want)
+        # an explicit max_det overrides the class default
+        assert len(det._postprocess(raw, 1.0, 0.45, 0.1, 0.3,
+                                    max_det=3)) == 3
+
     def test_bbox_cs_and_aspect(self):
         c, s = bbox_xyxy2cs(np.array([0, 0, 100, 50]), padding=1.25)
         np.testing.assert_allclose(c, [50, 25])

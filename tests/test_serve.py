@@ -104,3 +104,81 @@ def test_animate_validation_errors(server):
     assert status == 400 and b"multiples of 64" in data
     status, _, _ = _request(server, "GET", "/nope")
     assert status == 404
+
+
+def test_hardening_rejections(server):
+    """Compile-DoS guards: oversized bodies die before the read, unknown
+    shapes and compile-affecting overrides die before the chip lock, and
+    the server keeps serving afterwards."""
+    rng = np.random.default_rng(1)
+    ref = _b64_png(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    pose = _b64_png(np.zeros((64, 64, 3), np.uint8))
+
+    # 1. oversized body -> 413 without reading it (Content-Length gate)
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.putrequest("POST", "/animate")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(10**12))  # claim a 1 TB body
+    conn.endheaders()
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    assert resp.status == 413 and b"max_request_mb" in body
+
+    # 2. shape outside the allowlist -> 400, no compile attempted
+    status, _, data = _request(server, "POST", "/animate",
+                               {"reference": ref, "poses": [pose],
+                                "height": 128, "width": 128})
+    assert status == 400 and b"allowlist" in data
+
+    # 3. compile-affecting override -> 400 unless --allow_shape_overrides
+    status, _, data = _request(server, "POST", "/animate",
+                               {"reference": ref, "poses": [pose],
+                                "num_inference_steps": 50})
+    assert status == 400 and b"num_inference_steps" in data
+    status, _, data = _request(server, "POST", "/animate",
+                               {"reference": ref, "poses": [pose],
+                                "guidance_scale": 9.5})
+    assert status == 400 and b"guidance_scale" in data
+
+    # 4. too many frames -> 413 (server fixture runs with default cap;
+    #    craft a tiny-cap check through the service object instead of
+    #    shipping 900 images through HTTP)
+    # 5. the chip lock is untouched: a normal request still succeeds
+    status, ctype, data = _request(server, "POST", "/animate",
+                                   {"reference": ref, "poses": [pose] * 4,
+                                    "seed": 3})
+    assert status == 200 and ctype == "video/mp4"
+
+
+def test_max_frames_cap():
+    """The frames cap raises 413 from the REAL animate() before any model
+    or decode work — exercised with a stand-in self (no models built)."""
+    from stableanimator_tpu.cli.serve import (
+        AnimationService,
+        RequestRejected,
+        _parse_buckets,
+        parse_args,
+    )
+
+    args = parse_args(["--checkpoint_dir", "/tmp", "--max_frames", "8",
+                       "--height", "64", "--width", "64"])
+
+    class _Svc:
+        pass
+
+    svc = _Svc()
+    svc.args = args
+    svc.shape_buckets = _parse_buckets(args)
+    with pytest.raises(RequestRejected) as exc:
+        AnimationService.animate(svc, {"reference": "x", "poses": ["y"] * 9})
+    assert exc.value.status == 413 and "max_frames" in str(exc.value)
+
+
+def test_shape_buckets_parsing():
+    from stableanimator_tpu.cli.serve import _parse_buckets, parse_args
+
+    args = parse_args(["--checkpoint_dir", "/tmp", "--height", "512",
+                       "--width", "512",
+                       "--shape_buckets", "576x1024, 512X512"])
+    assert _parse_buckets(args) == {(512, 512), (576, 1024)}

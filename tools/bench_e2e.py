@@ -62,6 +62,21 @@ def parse_args():
     ap.add_argument("--max_tile_batch", type=str, default="auto",
                     help="tiles per grouped-denoise UNet call for >4-tile "
                          "videos: 'auto' or an int (A/B knob)")
+    ap.add_argument("--model_scale", type=str, default="full",
+                    choices=["full", "micro"],
+                    help="'micro' = tiny model zoo: exercises the identical "
+                         "bench code paths (warm overlap, pipelining, "
+                         "phases) on CPU in seconds — for tests, not "
+                         "numbers")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the XLA:CPU backend (sitecustomize pins the "
+                         "axon TPU plugin; the env var alone cannot switch)")
+    ap.add_argument("--pipelined", type=int, default=0,
+                    help="additionally measure N videos processed as a "
+                         "pipeline: pose extraction of video i+1 runs on a "
+                         "thread under the denoise of video i (the "
+                         "production-queue pattern — pose extraction leaves "
+                         "the per-video critical path)")
     return ap.parse_args()
 
 
@@ -86,6 +101,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -134,7 +152,12 @@ def main():
         wb.detector.input_size = (320, 320)
 
     # diffusion weights: converted .npz if present, else on-device random fill
-    models = build_models(dtype=jnp.bfloat16)
+    if args.model_scale == "micro":
+        from stableanimator_tpu.core.config import micro_model_kwargs
+
+        models = build_models(**micro_model_kwargs())
+    else:
+        models = build_models(dtype=jnp.bfloat16)
     have_ckpts = os.path.exists(os.path.join(args.checkpoint_dir, "unet.npz"))
     detail["real_diffusion_weights"] = have_ckpts
     t0 = time.time()
@@ -197,8 +220,8 @@ def main():
         # 1.4 GB fp32 through the tunnel)
         output_uint8=True)
 
-    def one_pass(seed):
-        """Full pipeline; returns (pose_s, face_s, generate_s, export_s)."""
+    def extract_poses():
+        """DWPose extraction + render -> ([F,H,W,3] uint8, seconds)."""
         t = time.time()
         ref_pose = get_image_pose(wb, reference)
         try:
@@ -217,17 +240,21 @@ def main():
         # 12.5MB of tunnel traffic at 512^2 x 16f)
         pose_arr = np.concatenate(
             [ref_pose[None], pose_maps])[:args.frames].astype(np.uint8)
-        pose_arr = np.transpose(pose_arr, (0, 2, 3, 1))
-        pose_s = time.time() - t
+        return np.transpose(pose_arr, (0, 2, 3, 1)), time.time() - t
 
+    id_dim = models.face_encoder.config.id_embeddings_dim
+
+    def embed_face():
         t = time.time()
         if face_model is not None:
-            emb = face_model.get_id_embedding(reference[..., ::-1])
-            emb = np.zeros((512,), np.float32) if emb is None else emb
+            e = face_model.get_id_embedding(reference[..., ::-1])
+            e = np.zeros((id_dim,), np.float32) if e is None else e
+            e = np.resize(e.astype(np.float32), (id_dim,))
         else:
-            emb = np.zeros((512,), np.float32)
-        face_s = time.time() - t
+            e = np.zeros((id_dim,), np.float32)
+        return e, time.time() - t
 
+    def run_generate(seed, pose_arr):
         t = time.time()
         out = generate(
             models, params,
@@ -241,14 +268,48 @@ def main():
         t = time.time()
         u8 = frames_to_uint8(frames_np)
         export_to_mp4(u8, os.path.join(td, "animation_video.mp4"), fps=8)
-        export_s = time.time() - t
+        return gen_s, time.time() - t
+
+    def one_pass(seed):
+        """Full serial pipeline; returns (pose_s, face_s, gen_s, export_s)."""
+        pose_arr, pose_s = extract_poses()
+        _, face_s = embed_face()
+        gen_s, export_s = run_generate(seed, pose_arr)
         return pose_s, face_s, gen_s, export_s
 
-    _log("compile pass (uncached graphs compile remotely; minutes)")
+    # ---- compile pass: generate-graph warm OVERLAPPED with the pose
+    # extraction (compilation runs on the compile service; the chip and the
+    # host are free — at 450f this hides ~59 s of DWPose behind the
+    # multi-minute cold compile) -------------------------------------------
+    import threading
+
+    from stableanimator_tpu.pipeline import warm_generate
+
+    _log("compile pass (graph warm overlapped with pose extraction)")
     t0 = time.time()
-    one_pass(0)
+    warm_info = {}
+
+    def _warm():
+        try:
+            t = time.time()
+            warm_info.update(warm_generate(models, params, cfg))
+            warm_info["seconds"] = round(time.time() - t, 1)
+        except Exception as e:
+            warm_info["error"] = repr(e)
+
+    th = threading.Thread(target=_warm, daemon=True)
+    th.start()
+    _, warm_pose_s = extract_poses()  # also compiles the DWPose graphs
+    pose_done_at = time.time() - t0
+    th.join()
+    emb, _ = embed_face()
+    detail["warm"] = dict(warm_info)
+    detail["warm"]["pose_extraction_s"] = round(warm_pose_s, 2)
+    detail["warm"]["pose_hidden_behind_warm"] = (
+        pose_done_at <= (time.time() - t0) - 0.5 or "error" not in warm_info)
     detail["compile_pass_s"] = round(time.time() - t0, 1)
-    _log(f"compile pass done in {detail['compile_pass_s']}s")
+    _log(f"compile pass done in {detail['compile_pass_s']}s "
+         f"(pose {warm_pose_s:.1f}s overlapped; warm {warm_info})")
 
     runs = []
     for i in range(args.runs):
@@ -269,6 +330,42 @@ def main():
         "all_runs_s": [round(sum(r), 2) for r in runs],
         "north_star_under_60s": e2e < 60.0,
     })
+
+    if args.pipelined > 0:
+        # production-queue pattern: pose extraction of video i+1 on a
+        # thread under video i's denoise. Pose work is mostly host-side
+        # geometry + short chip calls that slot between the async denoise
+        # dispatches; steady-state per-video cost -> max(generate, pose)
+        # instead of generate + pose.
+        n = args.pipelined
+        _log(f"pipelined mode: {n} videos, pose(i+1) under generate(i)")
+        pose_cur, fill_s = extract_poses()
+        t0 = time.time()
+        vids = []
+        for i in range(n):
+            nxt = {}
+            th = None
+            if i + 1 < n:
+                th = threading.Thread(
+                    target=lambda: nxt.update(zip(("pose", "s"),
+                                                  extract_poses())),
+                    daemon=True)
+                th.start()
+            g_s, x_s = run_generate(100 + i, pose_cur)
+            if th is not None:
+                th.join()
+                pose_cur = nxt["pose"]
+            vids.append(round(g_s + x_s, 2))
+            _log(f"pipelined video {i}: generate+export {vids[-1]}s "
+                 f"(pose(i+1) {nxt.get('s', 0):.1f}s overlapped)")
+        wall = time.time() - t0
+        detail["pipelined"] = {
+            "videos": n,
+            "pipeline_fill_pose_s": round(fill_s, 2),
+            "seconds_per_video_steady": round(wall / n, 2),
+            "per_video_generate_export_s": vids,
+            "serial_equivalent_s": round(sum(vids) / n + pose_s, 2),
+        }
     print(json.dumps({
         "metric": f"e2e_seconds_per_video_{args.width}x{args.height}x"
                   f"{args.frames}f_{args.steps}step",
