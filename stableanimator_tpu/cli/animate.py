@@ -222,31 +222,27 @@ def main():
         output_uint8=True,
     )
 
-    # Warm the generate graphs on a background thread while the host does
-    # face embedding + pose loading/extraction: compilation runs on the
-    # compile service, so inline DWPose extraction (~59 s at 450 frames)
-    # hides entirely behind the multi-minute cold compile instead of
-    # adding to it. Skipped under face_opt (its closure-jitted program
-    # isn't covered by warm_generate).
-    warm_thread, warm_info = None, {}
-    if args.face_optimize_steps == 0:
-        import threading
+    # Inline DWPose (driving mode) runs in a WORKER SUBPROCESS with its own
+    # jax session: two host threads of ONE process issuing remote
+    # compiles/executions deadlock the PJRT client (reproduced: both
+    # futex-wait, zero CPU), so the overlap below is process-level —
+    # ship the extraction request now, collect the result after the warm.
+    pose_join = None
+    if args.driving_video_folder:
+        from stableanimator_tpu.preproc.pose_worker import PoseWorker
 
-        from stableanimator_tpu.pipeline import warm_generate
-
-        clip_shape = (ref_pil.height, ref_pil.width)
-
-        def _warm():
-            try:
-                t = time.time()
-                warm_info.update(warm_generate(models, params, cfg,
-                                               clip_shape=clip_shape))
-                warm_info["seconds"] = round(time.time() - t, 1)
-            except Exception as e:  # surfaced after join; generate still runs
-                warm_info["error"] = repr(e)
-
-        warm_thread = threading.Thread(target=_warm, daemon=True)
-        warm_thread.start()
+        dwpose_dir = args.dwpose_dir or os.path.join(args.checkpoint_dir,
+                                                     "DWPose")
+        det = os.path.join(dwpose_dir, "yolox_l.onnx")
+        pse = os.path.join(dwpose_dir, "dw-ll_ucoco_384.onnx")
+        if not (os.path.exists(det) and os.path.exists(pse)):
+            raise SystemExit(f"--driving_video_folder needs yolox_l.onnx + "
+                             f"dw-ll_ucoco_384.onnx in {dwpose_dir}")
+        driving = np.stack([np.asarray(im) for im in load_images_from_folder(
+            args.driving_video_folder, width=args.width, height=args.height)])
+        worker = PoseWorker(det, pse)
+        pose_join = worker.extract_async(driving, np.asarray(ref_pil_sized),
+                                         args.height, args.width)
 
     # face-ID embedding of the reference (reference inference_basic.py:516-535)
     id_dim = models.face_encoder.config.id_embeddings_dim  # 512 (ArcFace) at full scale
@@ -271,9 +267,38 @@ def main():
               "embedding")
         emb = np.zeros((id_dim,), np.float32)
 
-    # pose pixels: pre-rendered folder, or inline DWPose over raw frames
-    # (overlapped with the warm thread above). uint8 to the device
-    # (generate converts on-chip, 1/4 the transfer).
+    # Warm the generate graphs on a background thread while the host loads
+    # pose images / awaits the extraction worker: compilation runs on the
+    # compile service, so inline DWPose extraction (~59 s at 450 frames)
+    # hides entirely behind the multi-minute cold compile instead of
+    # adding to it. The warm thread is the ONLY jax user in this process
+    # during the overlap (face embedding above already finished; the pose
+    # sources below are file IO / a pipe read) — two in-process jax
+    # threads deadlock the remote PJRT client. Skipped under face_opt
+    # (its closure-jitted program isn't covered by warm_generate).
+    warm_thread, warm_info = None, {}
+    if args.face_optimize_steps == 0:
+        import threading
+
+        from stableanimator_tpu.pipeline import warm_generate
+
+        clip_shape = (ref_pil.height, ref_pil.width)
+
+        def _warm():
+            try:
+                t = time.time()
+                warm_info.update(warm_generate(models, params, cfg,
+                                               clip_shape=clip_shape))
+                warm_info["seconds"] = round(time.time() - t, 1)
+            except Exception as e:  # surfaced after join; generate still runs
+                warm_info["error"] = repr(e)
+
+        warm_thread = threading.Thread(target=_warm, daemon=True)
+        warm_thread.start()
+
+    # pose pixels: pre-rendered folder (file IO), or the extraction
+    # worker's result. uint8 to the device (generate converts on-chip,
+    # 1/4 the transfer).
     t_pose = time.time()
     if args.pose_control_folder:
         pose_images = load_images_from_folder(args.pose_control_folder,
@@ -281,26 +306,15 @@ def main():
                                               height=args.height)
         pose_u8 = poses_to_u8_array(pose_images)
     else:
-        from stableanimator_tpu.preproc.skeleton_extraction import (
-            get_video_pose)
-        from stableanimator_tpu.preproc.wholebody import WholebodyDetector
-
-        dwpose_dir = args.dwpose_dir or os.path.join(args.checkpoint_dir,
-                                                     "DWPose")
-        det = os.path.join(dwpose_dir, "yolox_l.onnx")
-        pse = os.path.join(dwpose_dir, "dw-ll_ucoco_384.onnx")
-        if not (os.path.exists(det) and os.path.exists(pse)):
-            raise SystemExit(f"--driving_video_folder needs yolox_l.onnx + "
-                             f"dw-ll_ucoco_384.onnx in {dwpose_dir}")
-        driving = [np.asarray(im) for im in load_images_from_folder(
-            args.driving_video_folder, width=args.width, height=args.height)]
-        wb = WholebodyDetector(det, pse)
-        # aligned to the reference body shape, reference-resolution render
-        # (reference DWPose/skeleton_extraction.py:137-178)
-        pose_maps = get_video_pose(wb, driving, np.asarray(ref_pil_sized))
+        pose_maps, ack = pose_join()  # blocks on the worker pipe, not jax
+        worker.close()
+        if ack and not ack.get("aligned", True):
+            print("WARNING: no 18-joint bodies detected; skeletons rendered "
+                  "without reference alignment")
         pose_u8 = np.transpose(pose_maps, (0, 2, 3, 1)).astype(np.uint8)
-        print(f"DWPose extraction: {len(driving)} frames in "
-              f"{time.time() - t_pose:.1f}s")
+        print(f"DWPose extraction (worker subprocess): "
+              f"{pose_u8.shape[0]} frames ready after "
+              f"{time.time() - t_pose:.1f}s of overlap")
 
     if warm_thread is not None:
         warm_thread.join()

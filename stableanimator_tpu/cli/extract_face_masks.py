@@ -49,10 +49,9 @@ def main():
             if os.path.exists(save_path):
                 print(f"{save_path} already exists!")
                 continue
-            img = cv2.cvtColor(cv2.imread(os.path.join(root, file)),
-                               cv2.COLOR_BGR2RGB)
-            cv2.imwrite(save_path,
-                        face_mask(img, detector, fallback_detector=fallback))
+            img = read_image_rgb(os.path.join(root, file))
+            write_image_gray(save_path,
+                             face_mask(img, detector, fallback_detector=fallback))
             print(f"Finish face Extraction: {save_path}")
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import cv2
 import numpy as np
 
 
@@ -28,24 +27,27 @@ def main():
     args = parse_args()
     from stableanimator_tpu.preproc.skeleton_extraction import get_video_pose
     from stableanimator_tpu.preproc.wholebody import WholebodyDetector
-    from stableanimator_tpu.utils.image import _frame_sort_key
+    from stableanimator_tpu.utils.image import (
+        _frame_sort_key,
+        read_image_rgb,
+        write_image_bgr_convention,
+    )
 
     detector = WholebodyDetector(
         os.path.join(args.dwpose_dir, "yolox_l.onnx"),
         os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx"))
 
-    ref = cv2.cvtColor(cv2.imread(args.ref_image_path), cv2.COLOR_BGR2RGB)
+    ref = read_image_rgb(args.ref_image_path)
     files = sorted((f for f in os.listdir(args.target_image_folder_path)
                     if f.endswith(".png")), key=_frame_sort_key)
-    frames = [cv2.cvtColor(cv2.imread(
-        os.path.join(args.target_image_folder_path, f)), cv2.COLOR_BGR2RGB)
-        for f in files]
+    frames = [read_image_rgb(
+        os.path.join(args.target_image_folder_path, f)) for f in files]
 
     maps = get_video_pose(detector, frames, ref)  # [F, 3, H, W]
     os.makedirs(args.poses_folder_path, exist_ok=True)
     for i in range(maps.shape[0]):
         path = os.path.join(args.poses_folder_path, f"frame_{i}.png")
-        cv2.imwrite(path, np.transpose(maps[i], (1, 2, 0)))
+        write_image_bgr_convention(path, np.transpose(maps[i], (1, 2, 0)))
         print(f"save the pose image in {path}")
 
 

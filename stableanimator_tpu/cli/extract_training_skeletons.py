@@ -8,8 +8,12 @@ from __future__ import annotations
 import argparse
 import os
 
-import cv2
 import numpy as np
+
+from stableanimator_tpu.utils.image import (
+    read_image_rgb,
+    write_image_bgr_convention,
+)
 
 
 def parse_args():
@@ -41,15 +45,14 @@ def main():
             out_path = os.path.join(poses_dir, fname)
             if os.path.exists(out_path):
                 continue
-            img = cv2.cvtColor(cv2.imread(os.path.join(images_dir, fname)),
-                               cv2.COLOR_BGR2RGB)
+            img = read_image_rgb(os.path.join(images_dir, fname))
             pose_img = render_training_pose(detector, img)
-            # Write the raw transpose — cv2 treats the RGB render as BGR, so
-            # the saved file has swapped channels; that quirk is the data
-            # contract the released checkpoints were trained on (reference
-            # training_skeleton_extraction.py:165-167) and matches the
-            # inference-path extractor (extract_skeleton.py).
-            cv2.imwrite(out_path, np.transpose(pose_img, (1, 2, 0)))
+            # channel-swap write convention: the data contract the released
+            # checkpoints were trained on (reference
+            # training_skeleton_extraction.py:165-167); matches the
+            # inference-path extractor (extract_skeleton.py)
+            write_image_bgr_convention(out_path,
+                                       np.transpose(pose_img, (1, 2, 0)))
             print(f"wrote {out_path}")
 
 

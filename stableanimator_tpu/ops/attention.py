@@ -14,6 +14,7 @@ with default scale 1/sqrt(head_dim) and no bias/mask/dropout
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -71,6 +72,33 @@ def mulsum_attention(q, k, v, scale: float | None = None):
     return jnp.sum(probs[..., None] * v[:, None], axis=2)
 
 
+def _flash_sharded(q, k, v, scale, mesh):
+    """Flash attention inside a mesh-sharded program.
+
+    GSPMD cannot partition Mosaic custom calls (the real-topology v5e:2x4
+    AOT compile fails with "Mosaic kernels cannot be automatically
+    partitioned") — but the kernel is independent per (batch, head), so any
+    batch partitioning is mathematically exact: constrain q/k/v to shard
+    the batch axis over ALL mesh axes and run the kernel per-shard under
+    shard_map. This keeps the first-party kernel (4.5-7x faster than the
+    alternatives at model shapes, NOTES_ROUND3) on the multi-chip path
+    instead of falling back to XLA attention (whose fp32 logits at the
+    512^2 level-0 shape are OOM-scale)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(tuple(mesh.axis_names), None, None, None)
+    sh = NamedSharding(mesh, spec)
+    q = jax.lax.with_sharding_constraint(q, sh)
+    k = jax.lax.with_sharding_constraint(k, sh)
+    v = jax.lax.with_sharding_constraint(v, sh)
+    fn = shard_map(
+        functools.partial(flash_attention, scale=scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(q, k, v)
+
+
 def dot_product_attention(q, k, v, scale: float | None = None,
                           use_flash: bool | None = None):
     """Attention over [B, S, H, D] tensors.
@@ -85,6 +113,15 @@ def dot_product_attention(q, k, v, scale: float | None = None,
         use_flash = (_on_tpu() and k.shape[1] >= _FLASH_MIN_SEQ
                      and q.shape[1] >= 128 and q.dtype.itemsize == 2)
     if use_flash:
+        from stableanimator_tpu.ops.gate import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None:
+            if q.shape[0] % mesh.size == 0:
+                return _flash_sharded(q, k, v, scale, mesh)
+            # batch not evenly shardable (e.g. small decode chunks):
+            # plain XLA keeps GSPMD free to partition however it likes
+            return xla_attention(q, k, v, scale=scale)
         return flash_attention(q, k, v, scale=scale)
     if (k.shape[1] <= 32 and _on_tpu()
             and os.environ.get("SA_TEMPORAL_MULSUM", "0") not in ("0", "")):

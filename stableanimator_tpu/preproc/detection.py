@@ -8,10 +8,11 @@ original yolox_l.onnx; geometry stays host-side numpy (tiny).
 
 from __future__ import annotations
 
-import cv2
 import numpy as np
 
 import jax
+
+from stableanimator_tpu.preproc.geometry import resize_bilinear
 
 
 def letterbox(img: np.ndarray, input_size=(640, 640)):
@@ -19,11 +20,12 @@ def letterbox(img: np.ndarray, input_size=(640, 640)):
     Returns (CHW uint8 image, ratio) — the fp32 cast happens ON DEVICE
     inside the detector's jitted graph, so host->device traffic is 1 byte
     per pixel, not 4 (YOLOX consumes raw 0-255 pixel values; the cast is
-    value-exact)."""
+    value-exact). The resize is the first-party bilinear (byte-identical
+    to cv2.INTER_LINEAR — preproc/geometry.py)."""
     padded = np.full((input_size[0], input_size[1], 3), 114, dtype=np.uint8)
     r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
-    resized = cv2.resize(img, (int(img.shape[1] * r), int(img.shape[0] * r)),
-                         interpolation=cv2.INTER_LINEAR).astype(np.uint8)
+    resized = resize_bilinear(
+        img, (int(img.shape[1] * r), int(img.shape[0] * r)))
     padded[: int(img.shape[0] * r), : int(img.shape[1] * r)] = resized
     return padded.transpose(2, 0, 1), r
 

@@ -16,10 +16,16 @@ from __future__ import annotations
 
 from typing import Optional
 
-import cv2
 import numpy as np
 
 import jax
+
+from stableanimator_tpu.preproc.geometry import (
+    fill_rect,
+    invert_affine,
+    resize_bilinear,
+    warp_affine,
+)
 
 # the canonical ArcFace 112x112 5-point template (insightface arcface_dst)
 ARCFACE_DST = np.array(
@@ -52,7 +58,7 @@ def norm_crop(img: np.ndarray, landmarks5: np.ndarray, size: int = 112) -> np.nd
     """Align a face to the ArcFace template."""
     m = umeyama_similarity(landmarks5.astype(np.float64),
                            ARCFACE_DST * (size / 112.0))
-    return cv2.warpAffine(img, m, (size, size), borderValue=0.0)
+    return warp_affine(img, m, (size, size), border_value=0.0)
 
 
 def _distance2bbox(points, distance):
@@ -95,7 +101,7 @@ class FaceDetector:
         in_h, in_w = self.input_size
         ratio = min(in_h / h0, in_w / w0)
         nh, nw = int(h0 * ratio), int(w0 * ratio)
-        resized = cv2.resize(image_rgb, (nw, nh))
+        resized = resize_bilinear(image_rgb, (nw, nh))
         det_img = np.zeros((in_h, in_w, 3), np.uint8)
         det_img[:nh, :nw] = resized
         blob = det_img.transpose(2, 0, 1)  # CHW uint8; normalise on device
@@ -176,7 +182,7 @@ class FaceParser:
         self._fn = load_onnx_function(onnx_path).jitted()
 
     def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
-        img = cv2.resize(image_rgb, (self.size, self.size)).astype(np.float32)
+        img = resize_bilinear(image_rgb, (self.size, self.size)).astype(np.float32)
         img = img / 255.0
         mean = np.array([0.485, 0.456, 0.406], np.float32)
         std = np.array([0.229, 0.224, 0.225], np.float32)
@@ -240,7 +246,7 @@ class RetinaFaceDetector:
         in_h, in_w = self.input_size
         ratio = min(in_h / h0, in_w / w0)
         nh, nw = int(h0 * ratio), int(w0 * ratio)
-        resized = cv2.resize(image_rgb, (nw, nh))
+        resized = resize_bilinear(image_rgb, (nw, nh))
         canvas = np.zeros((in_h, in_w, 3), np.float32)
         canvas[:nh, :nw] = resized[..., ::-1]  # RGB -> BGR
         blob = (canvas - np.array([104.0, 117.0, 123.0], np.float32))
@@ -285,8 +291,8 @@ def face_mask(image_rgb: np.ndarray, detector: Optional[FaceDetector],
         mask[:] = 255
         return mask
     for box in dets:
-        cv2.rectangle(mask, (int(box[0]), int(box[1])),
-                      (int(box[2]), int(box[3])), 255, thickness=cv2.FILLED)
+        fill_rect(mask, (int(box[0]), int(box[1])),
+                  (int(box[2]), int(box[3])), 255)
     return mask
 
 
@@ -301,12 +307,12 @@ def _bbox_aligned_crop(image_rgb: np.ndarray, bbox, input_size: int):
     mat = np.array([[scale, 0.0, input_size / 2.0 - center[0] * scale],
                     [0.0, scale, input_size / 2.0 - center[1] * scale]],
                    np.float64)
-    crop = cv2.warpAffine(image_rgb, mat, (input_size, input_size))
+    crop = warp_affine(image_rgb, mat, (input_size, input_size))
     return crop, mat
 
 
 def _invert_affine(mat: np.ndarray) -> np.ndarray:
-    return cv2.invertAffineTransform(mat)
+    return invert_affine(mat)
 
 
 class LandmarkModel:

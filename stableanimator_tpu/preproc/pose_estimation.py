@@ -10,10 +10,14 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import cv2
 import numpy as np
 
 import jax
+
+from stableanimator_tpu.preproc.geometry import (
+    get_affine_transform,
+    warp_affine,
+)
 
 _MEAN = np.array([123.675, 116.28, 103.53])
 _STD = np.array([58.395, 57.12, 57.375])
@@ -59,14 +63,14 @@ def get_warp_matrix(center, scale, rot, output_size):
     dst[0] = [dst_w * 0.5, dst_h * 0.5]
     dst[1] = dst[0] + dst_dir
     dst[2] = _third_point(dst[0], dst[1])
-    return cv2.getAffineTransform(src, dst)
+    return get_affine_transform(src, dst)
 
 
 def top_down_affine(input_size, scale, center, img):
     w, h = input_size
     scale = fix_aspect_ratio(scale, aspect_ratio=w / h)
     mat = get_warp_matrix(center, scale, 0, (w, h))
-    crop = cv2.warpAffine(img, mat, (int(w), int(h)), flags=cv2.INTER_LINEAR)
+    crop = warp_affine(img, mat, (int(w), int(h)))
     return crop, scale
 
 

@@ -19,8 +19,9 @@ import colorsys
 import math
 from typing import Dict, List, Sequence
 
-import cv2
 import numpy as np
+
+from stableanimator_tpu.preproc.geometry import resize_bilinear
 
 EPS = 0.01
 
@@ -44,6 +45,8 @@ def _blend(color: Sequence[int], alpha: float) -> List[int]:
 
 
 def draw_bodypose(canvas, candidate, subset, score):
+    import cv2
+
     h, w = canvas.shape[:2]
     candidate = np.asarray(candidate)
     subset = np.asarray(subset)
@@ -77,6 +80,8 @@ def draw_bodypose(canvas, candidate, subset, score):
 
 
 def draw_handpose(canvas, all_hand_peaks, all_hand_scores):
+    import cv2
+
     h, w = canvas.shape[:2]
     n_edges = len(HAND_EDGES)
     for peaks, scores in zip(all_hand_peaks, all_hand_scores):
@@ -99,6 +104,8 @@ def draw_handpose(canvas, all_hand_peaks, all_hand_scores):
 
 
 def draw_facepose(canvas, all_lmks, all_scores):
+    import cv2
+
     h, w = canvas.shape[:2]
     for lmks, scores in zip(all_lmks, all_scores):
         for lmk, score in zip(lmks, scores):
@@ -204,8 +211,9 @@ def draw_pose(pose: Dict, height: int, width: int, ref_w: int = 2160,
                                score=bodies["score"])
         canvas = draw_handpose(canvas, pose["hands"], pose["hands_score"])
         canvas = draw_facepose(canvas, pose["faces"], pose["faces_score"])
-    resized = cv2.resize(canvas, (width, height))
-    return cv2.cvtColor(resized, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
+    # first-party resize (byte-identical to cv2.INTER_LINEAR) + BGR->RGB
+    resized = resize_bilinear(canvas, (width, height))
+    return resized[..., ::-1].transpose(2, 0, 1)
 
 
 REF_KEYPOINT_IDS = [0, 1, 2, 5, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17]

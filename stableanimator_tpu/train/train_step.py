@@ -206,28 +206,44 @@ def train_loss(models: AnimationModels, trainable, frozen, batch, rng,
 def make_train_step(models: AnimationModels, tx, cfg: TrainConfig,
                     pipe: PipelineConfig,
                     conditioning_dropout_prob: float = 0.1,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """Build the jitted data-parallel train step.
 
     Shard `batch` leaves over the mesh "data" axis and keep params
     replicated; pjit inserts the gradient all-reduce.
+
+    mesh: pass the training Mesh when the step will run GSPMD-partitioned.
+    Trace-level kernel gates consult it (ops/gate.ACTIVE_MESH): the Pallas
+    flash attention must be shard_map-wrapped inside a partitioned program
+    (GSPMD cannot partition Mosaic custom calls — surfaced by the real
+    v5e:2x4 topology AOT, tools/aot_v5e8.py). Without it, a multi-device
+    compile of this step fails.
     """
 
     def step_fn(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        from stableanimator_tpu.ops.gate import ACTIVE_MESH
 
-        def loss_fn(trainable):
-            return train_loss(models, trainable, state.frozen, batch, rng,
-                              cfg, pipe,
-                              conditioning_dropout_prob=conditioning_dropout_prob)
+        tok = ACTIVE_MESH.set(mesh) if mesh is not None else None
+        try:
+            rng2 = jax.random.fold_in(rng, state.step)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-        }
-        return TrainState(state.step + 1, params, state.frozen, opt_state), metrics
+            def loss_fn(trainable):
+                return train_loss(
+                    models, trainable, state.frozen, batch, rng2, cfg, pipe,
+                    conditioning_dropout_prob=conditioning_dropout_prob)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return (TrainState(state.step + 1, params, state.frozen,
+                               opt_state), metrics)
+        finally:
+            if tok is not None:
+                ACTIVE_MESH.reset(tok)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

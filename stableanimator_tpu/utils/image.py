@@ -74,10 +74,36 @@ def save_frames_as_png(frames: List[np.ndarray], output_dir: str):
 
 
 def export_to_mp4(frames: List[np.ndarray], output_path: str, fps: int = 8):
-    import cv2
+    """mp4 artifact (reference inference_basic.py:56-64 writes via OpenCV).
+    cv2's mp4v encoder (inter-frame compression) when importable; otherwise
+    the first-party MJPEG muxer (utils/mp4.py) — no hard cv2 dependency."""
+    try:
+        import cv2
+    except ImportError:
+        from stableanimator_tpu.utils.mp4 import write_mp4_mjpeg
 
+        write_mp4_mjpeg(frames, output_path, fps=fps)
+        return
     h, w = frames[0].shape[:2]
     out = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for f in frames:
         out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     out.release()
+
+def read_image_rgb(path: str) -> np.ndarray:
+    """Image file -> HWC uint8 RGB (PIL; replaces cv2.imread + BGR2RGB)."""
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
+def write_image_bgr_convention(path: str, hwc: np.ndarray) -> None:
+    """Write pixels exactly as `cv2.imwrite(path, hwc)` would: cv2 treats
+    the array as BGR, so the file stores the channel-reversed image. The
+    skeleton extractors rely on this quirk as a data contract (reference
+    training_skeleton_extraction.py:165-167); PIL writes RGB, hence the
+    flip. Decoded pixels are byte-identical to the cv2 write."""
+    Image.fromarray(np.ascontiguousarray(hwc[..., ::-1])).save(path)
+
+
+def write_image_gray(path: str, gray: np.ndarray) -> None:
+    """Write a single-channel uint8 image (replaces cv2.imwrite on 2-D)."""
+    Image.fromarray(np.asarray(gray, np.uint8), mode="L").save(path)

@@ -92,3 +92,30 @@ def test_int8_geglu_lowers_on_v5e(m, k, n2):
     b = jax.ShapeDtypeStruct((n2,), jnp.float32)
     _compile(lambda x, wq, ws, b: int8_geglu_pallas(x, wq, ws, b),
              (x, wq, ws, b), mesh)
+
+
+def test_v5e8_topology_aot_micro_generate():
+    """The sharded generate program AOT-compiles against the REAL v5e:2x4
+    topology (tools/aot_v5e8.py `micro` target, in-subprocess for libtpu's
+    one-process lockfile) and reports a memory analysis + collective
+    schedule. This is the flow that surfaced the mesh-path flash-kernel
+    bug ("Mosaic kernels cannot be automatically partitioned") that the
+    CPU-mesh lowering tests can never see — CPU routes attention to XLA."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "aot_v5e8.py"),
+         "--target", "micro"],
+        capture_output=True, text=True, timeout=900, cwd=root)
+    if proc.returncode != 0 and "topology" in proc.stderr.lower():
+        pytest.skip("compile-only TPU topology unavailable")
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    rec = json.loads([ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["status"] == "ok"
+    assert rec["memory"]["fits_16gib_chip"]
+    assert rec["memory"]["peak_hbm_bytes_est"] > 0
+    assert "all-gather" in rec["collectives"] or rec["collectives"]

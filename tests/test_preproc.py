@@ -433,6 +433,141 @@ class TestNativeRaster:
             np.testing.assert_array_equal(a, b)
 
 
+class TestGeometryParityVsCv2:
+    """First-party geometry (preproc/geometry.py) vs the OpenCV oracle —
+    the package no longer imports cv2 anywhere on its main paths (SURVEY
+    §2.3 native-dep exit), so these pin the replacement semantics."""
+
+    def test_resize_bilinear_byte_identical(self):
+        import cv2
+
+        from stableanimator_tpu.preproc.geometry import resize_bilinear
+
+        rng = np.random.default_rng(0)
+        cases = [((100, 80, 3), (640, 640)), ((640, 640, 3), (192, 256)),
+                 ((2160, 2160, 3), (512, 512)), ((7, 5), (33, 44)),
+                 ((33, 44, 3), (7, 5)), ((64, 64, 3), (64, 64))]
+        for shape, (w2, h2) in cases:
+            img = rng.integers(0, 256, shape, np.uint8)
+            ours = resize_bilinear(img, (w2, h2))
+            ref = cv2.resize(img, (w2, h2), interpolation=cv2.INTER_LINEAR)
+            np.testing.assert_array_equal(ours, ref, err_msg=str(shape))
+        # fuzz
+        for _ in range(25):
+            h, w = rng.integers(2, 260, 2)
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            w2, h2 = (int(x) for x in rng.integers(2, 300, 2))
+            np.testing.assert_array_equal(
+                resize_bilinear(img, (w2, h2)),
+                cv2.resize(img, (w2, h2), interpolation=cv2.INTER_LINEAR))
+
+    def test_warp_affine_matches_cv2_within_rounding(self):
+        """cv2 5.0's rewritten warp engine is float-based; our float32
+        re-implementation matches except off-by-one at exact rounding
+        boundaries (<0.1% of pixels, pinned here). The downstream
+        consumers (RTMPose crop normalise, ArcFace alignment) are
+        insensitive at this level."""
+        import cv2
+
+        from stableanimator_tpu.preproc.geometry import warp_affine
+
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            h, w = rng.integers(8, 160, 2)
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            src = rng.uniform(0, [w, h], (3, 2)).astype(np.float32)
+            dst = rng.uniform(0, [w, h], (3, 2)).astype(np.float32)
+            m = cv2.getAffineTransform(src, dst)
+            w2, h2 = (int(x) for x in rng.integers(4, 200, 2))
+            ours = warp_affine(img, m, (w2, h2))
+            ref = cv2.warpAffine(img, m, (w2, h2), flags=cv2.INTER_LINEAR)
+            d = np.abs(ours.astype(int) - ref.astype(int))
+            assert d.max() <= 1, d.max()
+            assert (d > 0).mean() < 1e-3, (d > 0).mean()
+
+    def test_affine_solves_match_cv2(self):
+        import cv2
+
+        from stableanimator_tpu.preproc.geometry import (
+            get_affine_transform,
+            invert_affine,
+        )
+
+        rng = np.random.default_rng(2)
+        for _ in range(10):
+            src = rng.uniform(0, 100, (3, 2)).astype(np.float32)
+            dst = rng.uniform(0, 100, (3, 2)).astype(np.float32)
+            ref = cv2.getAffineTransform(src, dst)
+            np.testing.assert_allclose(get_affine_transform(src, dst), ref,
+                                       atol=1e-8)
+            np.testing.assert_allclose(invert_affine(ref),
+                                       cv2.invertAffineTransform(ref),
+                                       atol=1e-10)
+
+    def test_fill_rect_matches_cv2_filled_rectangle(self):
+        import cv2
+
+        from stableanimator_tpu.preproc.geometry import fill_rect
+
+        for box in [(2, 3, 10, 12), (-5, -5, 4, 4), (60, 60, 80, 80),
+                    (10, 10, 10, 10)]:
+            a = np.zeros((64, 64), np.uint8)
+            b = np.zeros((64, 64), np.uint8)
+            fill_rect(a, box[:2], box[2:], 255)
+            cv2.rectangle(b, box[:2], box[2:], 255, thickness=cv2.FILLED)
+            np.testing.assert_array_equal(a, b, err_msg=str(box))
+
+
+class TestFirstPartyMp4:
+    def test_mjpeg_mp4_decodes_with_cv2(self, tmp_path):
+        """The first-party MJPEG muxer (utils/mp4.py) must produce a file
+        standard decoders accept: frame count, fps, and JPEG-level pixel
+        fidelity checked by decoding with OpenCV's ffmpeg backend."""
+        import cv2
+
+        from stableanimator_tpu.utils.mp4 import write_mp4_mjpeg
+
+        rng = np.random.default_rng(0)
+        frames = [cv2.GaussianBlur(
+            rng.integers(0, 256, (48, 64, 3), np.uint8), (9, 9), 3)
+            for _ in range(5)]
+        path = str(tmp_path / "clip.mp4")
+        write_mp4_mjpeg(frames, path, fps=8)
+        cap = cv2.VideoCapture(path)
+        assert cap.get(cv2.CAP_PROP_FPS) == 8.0
+        n = 0
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            err = np.abs(fr.astype(int)
+                         - frames[n][..., ::-1].astype(int)).mean()
+            assert err < 6.0, err  # JPEG q90 on smooth content
+            n += 1
+        cap.release()
+        assert n == len(frames)
+
+    def test_export_to_mp4_falls_back_without_cv2(self, tmp_path,
+                                                  monkeypatch):
+        import builtins
+
+        from stableanimator_tpu.utils import image as uimg
+
+        real_import = builtins.__import__
+
+        def no_cv2(name, *a, **k):
+            if name == "cv2":
+                raise ImportError("blocked")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_cv2)
+        frames = [np.full((32, 32, 3), i * 40, np.uint8) for i in range(4)]
+        path = str(tmp_path / "fb.mp4")
+        uimg.export_to_mp4(frames, path, fps=8)
+        data = open(path, "rb").read()
+        assert b"ftyp" in data[:16] and b"moov" in data and b"mdat" in data
+
+
 class TestExtractorWriteParity:
     """The training- and inference-path CLIs must write byte-identical
     renders for the same pose (round-1 bug: the training walker wrote

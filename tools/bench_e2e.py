@@ -111,11 +111,6 @@ def main():
 
     from stableanimator_tpu.core.config import PipelineConfig
     from stableanimator_tpu.pipeline import build_models, generate
-    from stableanimator_tpu.preproc.skeleton_extraction import (
-        get_image_pose,
-        get_video_pose,
-    )
-    from stableanimator_tpu.preproc.wholebody import WholebodyDetector
     from stableanimator_tpu.utils.image import export_to_mp4, frames_to_uint8
 
     detail = {"height": args.height, "width": args.width,
@@ -144,12 +139,17 @@ def main():
                    for _ in range(args.frames)]
         reference = np.zeros((args.height, args.width, 3), np.uint8)
     detail["real_dwpose_weights"] = real_dwpose
-    wb = WholebodyDetector(det_path, pose_path)
-    if not real_dwpose:
-        # stand-ins: smaller letterbox keeps the batched compile fast; the
-        # RTMPose crop size stays at the real 256x192 (the stand-in ONNX
-        # was exported at that shape)
-        wb.detector.input_size = (320, 320)
+    # Pose extraction lives in a WORKER SUBPROCESS with its own jax
+    # session: a second in-process jax thread deadlocks the remote PJRT
+    # client (preproc/pose_worker.py docstring), and the worker's session
+    # init overlaps the param fill below for free. Stand-ins use a smaller
+    # letterbox (batched compile speed; the RTMPose crop size stays at the
+    # real 256x192 — the stand-in ONNX was exported at that shape).
+    from stableanimator_tpu.preproc.pose_worker import PoseWorker
+
+    worker = PoseWorker(det_path, pose_path,
+                        letterbox=None if real_dwpose else (320, 320),
+                        platform="cpu" if args.cpu else None)
 
     # diffusion weights: converted .npz if present, else on-device random fill
     if args.model_scale == "micro":
@@ -220,27 +220,30 @@ def main():
         # 1.4 GB fp32 through the tunnel)
         output_uint8=True)
 
-    def extract_poses():
-        """DWPose extraction + render -> ([F,H,W,3] uint8, seconds)."""
+    def extract_poses_async(tag="clip"):
+        """Ship ref+video extraction to the worker; returns join() ->
+        ([F,H,W,3] uint8, seconds-since-dispatch)."""
         t = time.time()
-        ref_pose = get_image_pose(wb, reference)
-        try:
-            pose_maps = get_video_pose(wb, driving, reference)
-        except ValueError:
-            # stand-in networks on synthetic frames may detect no 18-joint
-            # bodies to fit the alignment on; render unaligned (the network
-            # work being timed is identical)
-            detail["alignment_skipped_no_bodies"] = True
-            from stableanimator_tpu.preproc.skeleton_render import draw_pose
+        ref_pose = {"v": None}
 
-            detected = wb.video_poses(list(driving))
-            pose_maps = np.stack(
-                [draw_pose(p, args.height, args.width) for p in detected])
-        # uint8 across the boundary; generate converts on device (50MB ->
-        # 12.5MB of tunnel traffic at 512^2 x 16f)
-        pose_arr = np.concatenate(
-            [ref_pose[None], pose_maps])[:args.frames].astype(np.uint8)
-        return np.transpose(pose_arr, (0, 2, 3, 1)), time.time() - t
+        join_clip = worker.extract_async(np.stack(driving), reference,
+                                         args.height, args.width, tag=tag)
+
+        def join():
+            pose_maps, ack = join_clip()
+            if ack and not ack.get("aligned", True):
+                detail["alignment_skipped_no_bodies"] = True
+            rp = worker.image_pose(reference, tag=f"{tag}_ref")
+            # uint8 across the boundary; generate converts on device
+            # (50MB -> 12.5MB of tunnel traffic at 512^2 x 16f)
+            pose_arr = np.concatenate(
+                [rp[None], pose_maps])[:args.frames].astype(np.uint8)
+            return np.transpose(pose_arr, (0, 2, 3, 1)), time.time() - t
+
+        return join
+
+    def extract_poses(tag="clip"):
+        return extract_poses_async(tag)()
 
     id_dim = models.face_encoder.config.id_embeddings_dim
 
@@ -278,38 +281,33 @@ def main():
         return pose_s, face_s, gen_s, export_s
 
     # ---- compile pass: generate-graph warm OVERLAPPED with the pose
-    # extraction (compilation runs on the compile service; the chip and the
-    # host are free — at 450f this hides ~59 s of DWPose behind the
-    # multi-minute cold compile) -------------------------------------------
-    import threading
-
+    # extraction. The extraction runs in the worker SUBPROCESS (its own
+    # jax session — preproc/pose_worker.py explains why a thread deadlocks
+    # the remote client), so the main process warms the generate graphs
+    # at the same time; at 450f this hides ~59 s of DWPose behind the
+    # multi-minute cold compile. ------------------------------------------
     from stableanimator_tpu.pipeline import warm_generate
 
-    _log("compile pass (graph warm overlapped with pose extraction)")
+    _log("compile pass (graph warm overlapped with worker pose extraction)")
     t0 = time.time()
     warm_info = {}
-
-    def _warm():
-        try:
-            t = time.time()
-            warm_info.update(warm_generate(models, params, cfg))
-            warm_info["seconds"] = round(time.time() - t, 1)
-        except Exception as e:
-            warm_info["error"] = repr(e)
-
-    th = threading.Thread(target=_warm, daemon=True)
-    th.start()
-    _, warm_pose_s = extract_poses()  # also compiles the DWPose graphs
-    pose_done_at = time.time() - t0
-    th.join()
+    pose_join = extract_poses_async("warmup")
+    try:
+        t = time.time()
+        warm_info.update(warm_generate(models, params, cfg))
+        warm_info["seconds"] = round(time.time() - t, 1)
+    except Exception as e:
+        warm_info["error"] = repr(e)
+    warm_done_at = time.time() - t0
+    _, warm_pose_s = pose_join()
     emb, _ = embed_face()
     detail["warm"] = dict(warm_info)
     detail["warm"]["pose_extraction_s"] = round(warm_pose_s, 2)
-    detail["warm"]["pose_hidden_behind_warm"] = (
-        pose_done_at <= (time.time() - t0) - 0.5 or "error" not in warm_info)
+    detail["warm"]["pose_hidden_behind_warm"] = warm_pose_s <= warm_done_at
     detail["compile_pass_s"] = round(time.time() - t0, 1)
     _log(f"compile pass done in {detail['compile_pass_s']}s "
-         f"(pose {warm_pose_s:.1f}s overlapped; warm {warm_info})")
+         f"(pose ready at {warm_pose_s:.1f}s, warm at {warm_done_at:.1f}s; "
+         f"warm {warm_info})")
 
     runs = []
     for i in range(args.runs):
@@ -332,32 +330,24 @@ def main():
     })
 
     if args.pipelined > 0:
-        # production-queue pattern: pose extraction of video i+1 on a
-        # thread under video i's denoise. Pose work is mostly host-side
-        # geometry + short chip calls that slot between the async denoise
-        # dispatches; steady-state per-video cost -> max(generate, pose)
-        # instead of generate + pose.
+        # production-queue pattern: pose extraction of video i+1 runs in
+        # the worker subprocess under video i's denoise; steady-state
+        # per-video cost -> max(generate, pose) instead of generate + pose.
         n = args.pipelined
         _log(f"pipelined mode: {n} videos, pose(i+1) under generate(i)")
-        pose_cur, fill_s = extract_poses()
+        pose_cur, fill_s = extract_poses("pipe0")
         t0 = time.time()
         vids = []
         for i in range(n):
-            nxt = {}
-            th = None
-            if i + 1 < n:
-                th = threading.Thread(
-                    target=lambda: nxt.update(zip(("pose", "s"),
-                                                  extract_poses())),
-                    daemon=True)
-                th.start()
+            join = (extract_poses_async(f"pipe{i + 1}")
+                    if i + 1 < n else None)
             g_s, x_s = run_generate(100 + i, pose_cur)
-            if th is not None:
-                th.join()
-                pose_cur = nxt["pose"]
+            overlap_s = 0.0
+            if join is not None:
+                pose_cur, overlap_s = join()
             vids.append(round(g_s + x_s, 2))
             _log(f"pipelined video {i}: generate+export {vids[-1]}s "
-                 f"(pose(i+1) {nxt.get('s', 0):.1f}s overlapped)")
+                 f"(pose(i+1) ready {overlap_s:.1f}s after dispatch)")
         wall = time.time() - t0
         detail["pipelined"] = {
             "videos": n,
@@ -366,6 +356,7 @@ def main():
             "per_video_generate_export_s": vids,
             "serial_equivalent_s": round(sum(vids) / n + pose_s, 2),
         }
+    worker.close()
     print(json.dumps({
         "metric": f"e2e_seconds_per_video_{args.width}x{args.height}x"
                   f"{args.frames}f_{args.steps}step",
