@@ -52,6 +52,11 @@ import json
 import re
 import time
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 HBM_PER_CHIP = 16 * 1024**3  # v5e: 16 GiB
 
 
@@ -254,7 +259,11 @@ def _train_target(trainable_keys, name):
         make_train_step,
     )
 
-    models = build_models(dtype=jnp.bfloat16)
+    # remat=True is the production training configuration (cli/train,
+    # tools/bench_train — mirrors the reference's --gradient_checkpointing);
+    # without it the full-unet step needs 24.1 GB/chip (compiler-measured,
+    # r4) vs 15.75 available
+    models = build_models(dtype=jnp.bfloat16, remat=True)
     h, w, f, b = 512, 512, 16, 8  # command_train.sh rec bucket, dp=8
     mesh = _mesh((8, 1), ("data", "frame"))
     rep = NamedSharding(mesh, P())
@@ -303,7 +312,7 @@ def _train_target(trainable_keys, name):
     compiled = step.lower(state, batch, rng).compile()
     return _finish(name, compiled, t0,
                    {"mesh": "data=8", "trainable": list(trainable_keys),
-                    "zero1_opt_state": True, "donated": True})
+                    "zero1_opt_state": True, "donated": True, "remat": True})
 
 
 def target_train_full():

@@ -252,7 +252,8 @@ def parse_xplane(logdir, top=30, hlo_text=None, bucket=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="unet", choices=["unet", "generate"])
+    ap.add_argument("--what", default="unet",
+                    choices=["unet", "generate", "segment"])
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
@@ -312,6 +313,52 @@ def main():
         wall = run_traced(fwd, logdir)
         print(f"UNet fwd wall: {wall*1e3:.1f} ms")
         hlo_text = fwd.lower().compile().as_text()
+    elif args.what == "segment":
+        # the GROUPED long-video dispatch unit: one 1-step denoise segment
+        # over n_tiles/group tile groups — the program the 450f demo
+        # dispatches 25x. Profiling THIS (not the flat 16f graph) is what
+        # attributes the measured ~5% grouped-path excess (NOTES r3d6:
+        # grouped ~386 ms/call vs flat ~368 ms at the same batch shape).
+        from stableanimator_tpu.pipeline import build_models, device_fill_params
+        from stableanimator_tpu.pipeline.animation import (
+            _denoise_segment,
+            _prep_jit,
+        )
+
+        models = build_models(dtype=jnp.bfloat16)
+        params = device_fill_params(models, height=args.height,
+                                    width=args.width,
+                                    cast_fp32_to=jnp.bfloat16)
+        pcfg = PipelineConfig(height=args.height, width=args.width,
+                              num_frames=f, tile_size=16, tile_overlap=4,
+                              num_inference_steps=args.steps,
+                              decode_chunk_size=4)
+        ref = jnp.full((1, args.height, args.width, 3), 0.5, jnp.float32)
+        pose = jnp.full((f, args.height, args.width, 3), -1.0, jnp.float32)
+        face = jnp.zeros((1, 512), jnp.float32)
+        state = _prep_jit(models, params, ref, pose, face, pcfg,
+                          jax.random.PRNGKey(1), None)
+        latents, context, image_latents, add_time_ids, pose_lat = state
+
+        import functools
+
+        seg = jax.jit(functools.partial(_denoise_segment, models, cfg=pcfg,
+                                        num_steps=1, mesh=None))
+        offset = jnp.zeros((), jnp.int32)
+
+        def fwd():
+            return seg(params, latents, context, image_latents, add_time_ids,
+                       pose_lat, step_start=offset)[0]
+
+        wall = run_traced(fwd, logdir)
+        from stableanimator_tpu.diffusion.tiling import tile_indices
+
+        n_tiles = tile_indices(f, pcfg.tile_size, pcfg.tile_overlap).shape[0]
+        print(f"segment wall (1 step, {n_tiles} tiles): {wall*1e3:.1f} ms "
+              f"= {wall*1e3/max(n_tiles,1):.1f} ms/tile-slot")
+        hlo_text = seg.lower(params, latents, context, image_latents,
+                             add_time_ids, pose_lat,
+                             step_start=offset).compile().as_text()
     else:
         from stableanimator_tpu.pipeline import build_models, device_fill_params
         from stableanimator_tpu.pipeline.animation import _generate_impl
