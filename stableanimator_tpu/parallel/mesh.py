@@ -60,10 +60,23 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
 
 
-def zero_sharding_for(x, mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+def zero_sharding_for(x, mesh: Mesh, axis=DATA_AXIS) -> NamedSharding:
     """ZeRO-1 style sharding for one optimizer-state leaf: split the first
-    axis divisible by the mesh axis size; replicate scalars/odd shapes."""
-    n = mesh.shape[axis]
+    axis divisible by the mesh-axis size; replicate scalars/odd shapes.
+
+    axis may be one mesh axis name or a tuple of axis names — a tuple
+    shards the leaf over their COMBINED device count (e.g.
+    ("data", "frame") on a 4x2 mesh splits moments 8 ways; on the
+    full-unet finetune the fp32 Adam moments are ~11.4 GB replicated, so
+    the 8-way split is what brings the step under a v5e's 16 GB — see
+    tools/aot_v5e8.py's compiler-verified numbers)."""
+    if isinstance(axis, str):
+        n = mesh.shape[axis]
+    else:
+        axis = tuple(axis)
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
     spec = [None] * getattr(x, "ndim", 0)
     for i, dim in enumerate(getattr(x, "shape", ())):
         if dim % n == 0 and dim >= n:

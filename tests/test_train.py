@@ -121,6 +121,31 @@ def test_data_parallel_matches_single_device(setup):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_zero_sharding_multi_axis():
+    """zero_sharding_for with a tuple of axes splits a leaf over the
+    COMBINED device count — the 8-way Adam-moment split on the (4,2)
+    training mesh (fp32 moments are ~11.4 GB replicated on the full-unet
+    finetune; /8 is what fits a 16 GB v5e, tools/aot_v5e8.py)."""
+    from stableanimator_tpu.parallel.mesh import make_mesh, zero_sharding_for
+
+    mesh = make_mesh(data=4, frame=2)
+
+    class Leaf:
+        ndim = 2
+        shape = (16, 3)
+
+    sh = zero_sharding_for(Leaf(), mesh, ("data", "frame"))
+    assert sh.spec == P(("data", "frame"), None)
+
+    class Odd:  # 12 % 8 != 0 -> replicated
+        ndim = 1
+        shape = (12,)
+
+    assert zero_sharding_for(Odd(), mesh, ("data", "frame")).spec == P(None)
+    # single-axis behaviour unchanged
+    assert zero_sharding_for(Leaf(), mesh, "data").spec == P("data", None)
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     from stableanimator_tpu.core.checkpoint import CheckpointManager
 

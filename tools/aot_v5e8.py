@@ -241,9 +241,19 @@ def target_longvid():
                     "note": "one segment = 1 Euler step; dispatched 25x"})
 
 
-def _train_target(trainable_keys, name):
-    """dp=8 train step with ZeRO-1-sharded optimizer state and donated
-    input state — the production memory configuration."""
+def _train_target(trainable_keys, name, mesh_shape=(8, 1), batch=8,
+                  zero_axes="data", frame_shard=False):
+    """Train step with ZeRO-1-sharded optimizer state, remat, and donated
+    input state — the production memory configuration.
+
+    mesh_shape/batch/zero_axes/frame_shard parameterise the sharding:
+      dp=8 (default): one clip per chip, moments split 8-ways over data.
+      (4,2)+frame_shard: the reference's global batch of 4
+        (command_train.sh: 4 GPUs x 1 clip), frames split over the
+        "frame" axis (halves activation memory per chip) and moments
+        split over ALL 8 devices — the configuration that fits the
+        full-unet finetune in 16 GB where dp=8 cannot (dp=8 full-unet
+        measured 24.1 GB pre-remat; still over post-remat)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -264,10 +274,11 @@ def _train_target(trainable_keys, name):
     # without it the full-unet step needs 24.1 GB/chip (compiler-measured,
     # r4) vs 15.75 available
     models = build_models(dtype=jnp.bfloat16, remat=True)
-    h, w, f, b = 512, 512, 16, 8  # command_train.sh rec bucket, dp=8
-    mesh = _mesh((8, 1), ("data", "frame"))
+    h, w, f, b = 512, 512, 16, batch  # command_train.sh rec bucket
+    mesh = _mesh(mesh_shape, ("data", "frame"))
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    video = NamedSharding(mesh, P("data", "frame" if frame_shard else None))
     tcfg = TrainConfig()
     pipe = PipelineConfig(height=h, width=w, num_frames=f)
     pshapes = jax.eval_shape(lambda: init_params(
@@ -289,34 +300,46 @@ def _train_target(trainable_keys, name):
         frozen=_abstract(state_shapes.frozen, rep),
         opt_state=jax.tree_util.tree_map(
             lambda s: jax.ShapeDtypeStruct(
-                s.shape, s.dtype, sharding=zero_sharding_for(s, mesh)),
+                s.shape, s.dtype,
+                sharding=zero_sharding_for(s, mesh, zero_axes)),
             state_shapes.opt_state),
     )
-    batch = {
+    batch_tree = {
         "frames": jax.ShapeDtypeStruct((b, f, h, w, 3), jnp.float32,
-                                       sharding=data),
+                                       sharding=video),
         "ref_image": jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32,
                                           sharding=data),
         "face_embed": jax.ShapeDtypeStruct((b, 512), jnp.float32,
                                            sharding=data),
         "pose_pixels": jax.ShapeDtypeStruct((b, f, h, w, 3), jnp.float32,
-                                            sharding=data),
+                                            sharding=video),
         "face_mask": jax.ShapeDtypeStruct((b, f, h, w), jnp.float32,
-                                          sharding=data),
+                                          sharding=video),
     }
     rng = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
     step = make_train_step(models, make_optimizer(tcfg), tcfg, pipe,
                            donate=True, mesh=mesh)
     t0 = time.time()
     _log(f"lowering {name} train step (dp=8, ZeRO-1, donated) ...")
-    compiled = step.lower(state, batch, rng).compile()
+    compiled = step.lower(state, batch_tree, rng).compile()
     return _finish(name, compiled, t0,
-                   {"mesh": "data=8", "trainable": list(trainable_keys),
+                   {"mesh": f"data={mesh_shape[0]} x frame={mesh_shape[1]}",
+                    "global_batch": b, "zero_axes": zero_axes,
+                    "trainable": list(trainable_keys),
                     "zero1_opt_state": True, "donated": True, "remat": True})
 
 
 def target_train_full():
     return _train_target(("unet", "pose_net", "face_encoder"), "train_full")
+
+
+def target_train_full_sp():
+    """Full-unet finetune on the (data=4, frame=2) mesh: the reference's
+    global batch of 4, frame-sharded activations, Adam moments split over
+    all 8 chips."""
+    return _train_target(("unet", "pose_net", "face_encoder"),
+                         "train_full_sp", mesh_shape=(4, 2), batch=4,
+                         zero_axes=("data", "frame"), frame_shard=True)
 
 
 def target_train_adapter():
@@ -370,6 +393,7 @@ TARGETS = {
     "pro": target_pro,
     "longvid": target_longvid,
     "train_full": target_train_full,
+    "train_full_sp": target_train_full_sp,
     "train_adapter": target_train_adapter,
     "micro": target_micro,
 }
