@@ -263,6 +263,22 @@ class UNetSpatioTemporal(nn.Module):
         emb = jnp.repeat(emb, f, axis=0)
         context = jnp.repeat(context, f, axis=0)
 
+        # Under a mesh, pin the folded batch to shard over BOTH axes:
+        # GSPMD drops the frame-axis part of the [B, F, ...] input sharding
+        # at the merge, leaving every spatial activation only data-sharded —
+        # measured on the (4,2) full-unet train step as 2x the expected
+        # activation memory (17.0 GB > 15.75; the fold constraint plus
+        # 8-way ZeRO is what fits it — tools/aot_v5e8.py train_full_sp).
+        from stableanimator_tpu.ops.gate import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None and x.shape[0] % mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(tuple(mesh.axis_names), None, None,
+                                         None)))
+
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_in")(x)
         if pose_latents is not None:
