@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--dwpose_dir", type=str, default=None,
                    help="dir with yolox_l.onnx + dw-ll_ucoco_384.onnx "
                         "(default: <checkpoint_dir>/DWPose)")
+    p.add_argument("--max_persons", type=int, default=None,
+                   help="per-frame person cap for inline DWPose extraction "
+                        "(default 10; the reference keeps every box)")
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=512)
@@ -240,7 +243,7 @@ def main():
                              f"dw-ll_ucoco_384.onnx in {dwpose_dir}")
         driving = np.stack([np.asarray(im) for im in load_images_from_folder(
             args.driving_video_folder, width=args.width, height=args.height)])
-        worker = PoseWorker(det, pse)
+        worker = PoseWorker(det, pse, max_det=args.max_persons)
         pose_join = worker.extract_async(driving, np.asarray(ref_pil_sized),
                                          args.height, args.width)
 
@@ -267,66 +270,10 @@ def main():
               "embedding")
         emb = np.zeros((id_dim,), np.float32)
 
-    # Warm the generate graphs on a background thread while the host loads
-    # pose images / awaits the extraction worker: compilation runs on the
-    # compile service, so inline DWPose extraction (~59 s at 450 frames)
-    # hides entirely behind the multi-minute cold compile instead of
-    # adding to it. The warm thread is the ONLY jax user in this process
-    # during the overlap (face embedding above already finished; the pose
-    # sources below are file IO / a pipe read) — two in-process jax
-    # threads deadlock the remote PJRT client. Skipped under face_opt
-    # (its closure-jitted program isn't covered by warm_generate).
-    warm_thread, warm_info = None, {}
-    if args.face_optimize_steps == 0:
-        import threading
-
-        from stableanimator_tpu.pipeline import warm_generate
-
-        clip_shape = (ref_pil.height, ref_pil.width)
-
-        def _warm():
-            try:
-                t = time.time()
-                warm_info.update(warm_generate(models, params, cfg,
-                                               clip_shape=clip_shape))
-                warm_info["seconds"] = round(time.time() - t, 1)
-            except Exception as e:  # surfaced after join; generate still runs
-                warm_info["error"] = repr(e)
-
-        warm_thread = threading.Thread(target=_warm, daemon=True)
-        warm_thread.start()
-
-    # pose pixels: pre-rendered folder (file IO), or the extraction
-    # worker's result. uint8 to the device (generate converts on-chip,
-    # 1/4 the transfer).
-    t_pose = time.time()
-    if args.pose_control_folder:
-        pose_images = load_images_from_folder(args.pose_control_folder,
-                                              width=args.width,
-                                              height=args.height)
-        pose_u8 = poses_to_u8_array(pose_images)
-    else:
-        pose_maps, ack = pose_join()  # blocks on the worker pipe, not jax
-        worker.close()
-        if ack and not ack.get("aligned", True):
-            print("WARNING: no 18-joint bodies detected; skeletons rendered "
-                  "without reference alignment")
-        pose_u8 = np.transpose(pose_maps, (0, 2, 3, 1)).astype(np.uint8)
-        print(f"DWPose extraction (worker subprocess): "
-              f"{pose_u8.shape[0]} frames ready after "
-              f"{time.time() - t_pose:.1f}s of overlap")
-
-    if warm_thread is not None:
-        warm_thread.join()
-        if "error" in warm_info:
-            print(f"WARNING: graph warm failed ({warm_info['error']}); "
-                  f"generate will compile inline")
-        else:
-            print(f"graph warm: {warm_info.get('path')} path, "
-                  f"{warm_info.get('programs')} program(s) in "
-                  f"{warm_info.get('seconds')}s (overlapped with "
-                  f"preprocessing)")
-
+    # HJB face optimizer: built BEFORE the warm with placeholder face boxes
+    # (the real boxes need the extracted poses); boxes/target are traced
+    # pytree leaves, so the warm below pre-compiles the exact face-opt
+    # programs and .with_boxes() later swaps the data without re-tracing.
     face_opt = None
     if args.face_optimize_steps > 0:
         if not os.path.exists(rec_path):
@@ -345,11 +292,84 @@ def main():
                                   start_step=args.face_opt_start_step)
             face_opt = make_face_optimizer(
                 models, params, focfg, load_onnx_function(rec_path), emb,
-                pose_u8.astype(np.float32) / 127.5 - 1.0,  # == poses_to_array
-                args.height // 8, args.width // 8,
-                channel_order=args.face_channel_order)
+                None, args.height // 8, args.width // 8,
+                channel_order=args.face_channel_order,
+                num_frames=num_frames)
             print(f"HJB face optimization: {focfg.steps} steps/denoise-step, "
                   f"lr={focfg.lr}, from denoise step {focfg.start_step}")
+
+    # Warm the generate graphs on a background thread while the host loads
+    # pose images / awaits the extraction worker: compilation runs on the
+    # compile service, so inline DWPose extraction (~59 s at 450 frames)
+    # hides entirely behind the multi-minute cold compile instead of
+    # adding to it. The warm thread is the ONLY jax user in this process
+    # during the overlap (face embedding above already finished; the pose
+    # sources below are file IO / a pipe read) — two in-process jax
+    # threads deadlock the remote PJRT client.
+    import threading
+
+    from stableanimator_tpu.pipeline import warm_generate
+
+    clip_shape = (ref_pil.height, ref_pil.width)
+    warm_info = {}
+
+    def _warm():
+        try:
+            t = time.time()
+            warm_info.update(warm_generate(models, params, cfg,
+                                           clip_shape=clip_shape,
+                                           face_opt=face_opt))
+            warm_info["seconds"] = round(time.time() - t, 1)
+        except Exception as e:  # surfaced after join; generate still runs
+            warm_info["error"] = repr(e)
+
+    warm_thread = threading.Thread(target=_warm, daemon=True)
+    warm_thread.start()
+
+    # pose pixels: pre-rendered folder (file IO), or the extraction
+    # worker's result. uint8 to the device (generate converts on-chip,
+    # 1/4 the transfer).
+    t_pose = time.time()
+    if args.pose_control_folder:
+        pose_images = load_images_from_folder(args.pose_control_folder,
+                                              width=args.width,
+                                              height=args.height)
+        pose_u8 = poses_to_u8_array(pose_images)
+    else:
+        pose_maps, ack = pose_join()  # blocks on the worker pipe, not jax
+        worker.close()
+        if ack and not ack.get("aligned", True):
+            print("WARNING: no 18-joint bodies detected; skeletons rendered "
+                  "without reference alignment")
+        # Channel-reverse to match the checkpoint data contract: the
+        # two-script flow stores renders via write_image_bgr_convention
+        # (channel-swapped on disk) and loads them back as RGB, so the
+        # trained conditioning distribution sees the REVERSED render.
+        pose_u8 = np.ascontiguousarray(
+            np.transpose(pose_maps, (0, 2, 3, 1))[..., ::-1]).astype(np.uint8)
+        print(f"DWPose extraction (worker subprocess): "
+              f"{pose_u8.shape[0]} frames ready after "
+              f"{time.time() - t_pose:.1f}s of overlap")
+
+    if warm_thread is not None:
+        warm_thread.join()
+        if "error" in warm_info:
+            print(f"WARNING: graph warm failed ({warm_info['error']}); "
+                  f"generate will compile inline")
+        else:
+            print(f"graph warm: {warm_info.get('path')} path, "
+                  f"{warm_info.get('programs')} program(s) in "
+                  f"{warm_info.get('seconds')}s (overlapped with "
+                  f"preprocessing)")
+
+    if face_opt is not None:
+        # real per-frame face boxes from the (now available) pose renders;
+        # boxes are traced leaves, so the warmed programs still hit
+        from stableanimator_tpu.pipeline.face_opt import (
+            face_boxes_from_pose_renders)
+        face_opt = face_opt.with_boxes(face_boxes_from_pose_renders(
+            pose_u8.astype(np.float32) / 127.5 - 1.0,  # == poses_to_array
+            args.height // 8, args.width // 8, face_opt.cfg.latent_crop))
 
     t0 = time.time()
     frames = generate(

@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 import os
 
-import cv2
+from stableanimator_tpu.utils.image import read_image_rgb, write_image_gray
 
 
 def parse_args():

@@ -20,6 +20,9 @@ def parse_args():
     p.add_argument("--poses_folder_path", type=str, required=True)
     p.add_argument("--dwpose_dir", type=str, default="checkpoints/DWPose",
                    help="directory with yolox_l.onnx and dw-ll_ucoco_384.onnx")
+    p.add_argument("--max_persons", type=int, default=None,
+                   help="per-frame person cap (default 10; the reference "
+                        "keeps every box — raise for crowd frames)")
     return p.parse_args()
 
 
@@ -35,7 +38,8 @@ def main():
 
     detector = WholebodyDetector(
         os.path.join(args.dwpose_dir, "yolox_l.onnx"),
-        os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx"))
+        os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx"),
+        max_det=args.max_persons)
 
     ref = read_image_rgb(args.ref_image_path)
     files = sorted((f for f in os.listdir(args.target_image_folder_path)

@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument("--video_folder", type=str, required=True,
                    help="root containing {name}/images subfolders")
     p.add_argument("--dwpose_dir", type=str, default="checkpoints/DWPose")
+    p.add_argument("--max_persons", type=int, default=None,
+                   help="per-frame person cap (default 10; the reference "
+                        "keeps every box — raise for crowd frames)")
     return p.parse_args()
 
 
@@ -31,7 +34,8 @@ def main():
 
     detector = WholebodyDetector(
         os.path.join(args.dwpose_dir, "yolox_l.onnx"),
-        os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx"))
+        os.path.join(args.dwpose_dir, "dw-ll_ucoco_384.onnx"),
+        max_det=args.max_persons)
 
     for name in sorted(os.listdir(args.video_folder)):
         images_dir = os.path.join(args.video_folder, name, "images")

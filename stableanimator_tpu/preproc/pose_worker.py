@@ -64,7 +64,8 @@ def serve(stdin=None, stdout=None):  # pragma: no cover - exercised via CLI
                 from stableanimator_tpu.preproc.wholebody import (
                     WholebodyDetector)
 
-                wb = WholebodyDetector(req["det"], req["pose"])
+                wb = WholebodyDetector(req["det"], req["pose"],
+                                       max_det=req.get("max_det"))
                 if req.get("letterbox"):
                     wb.detector.input_size = tuple(req["letterbox"])
                 print(json.dumps({"ok": True}), file=stdout, flush=True)
@@ -122,7 +123,8 @@ class PoseWorker:
     RuntimeError on a worker-reported error."""
 
     def __init__(self, det_path: str, pose_path: str, letterbox=None,
-                 workdir: str | None = None, platform: str | None = None):
+                 workdir: str | None = None, platform: str | None = None,
+                 max_det: int | None = None):
         import os
         import subprocess
         import tempfile
@@ -140,7 +142,8 @@ class PoseWorker:
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
             env=env, cwd=root)
         self._send({"op": "init", "det": det_path, "pose": pose_path,
-                    "letterbox": list(letterbox) if letterbox else None})
+                    "letterbox": list(letterbox) if letterbox else None,
+                    "max_det": max_det})
         self._pending = 1  # init ack outstanding
 
     def _send(self, req):

@@ -16,12 +16,18 @@ OPENPOSE_IDX = [1, 2, 3, 4, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 17]
 
 
 class WholebodyDetector:
-    def __init__(self, det_onnx_path: str, pose_onnx_path: str):
+    def __init__(self, det_onnx_path: str, pose_onnx_path: str,
+                 max_det: int | None = None):
+        """max_det: per-frame person cap (None -> PersonDetector.
+        MAX_PERSONS_PER_FRAME = 10). The reference keeps every surviving
+        box; raise this for crowd frames with >10 people (plumbed from the
+        extraction CLIs' --max_persons / PoseWorker(max_det=...))."""
         from stableanimator_tpu.preproc.detection import PersonDetector
         from stableanimator_tpu.preproc.pose_estimation import PoseEstimator
 
         self.detector = PersonDetector(det_onnx_path)
         self.pose = PoseEstimator(pose_onnx_path)
+        self.max_det = max_det
 
     @staticmethod
     def _compose(kpts: np.ndarray, scores: np.ndarray):
@@ -38,7 +44,7 @@ class WholebodyDetector:
 
     def keypoints(self, image_rgb: np.ndarray):
         """-> (keypoints [N, 134, 2] px coords, scores [N, 134])."""
-        boxes = self.detector(image_rgb)
+        boxes = self.detector(image_rgb, max_det=self.max_det)
         kpts, scores = self.pose(image_rgb, boxes)
         return self._compose(kpts, scores)
 
@@ -49,7 +55,8 @@ class WholebodyDetector:
         math to calling `self(frame)` per frame."""
         if len(frames_rgb) == 0:
             return []
-        boxes_list = self.detector.detect_batch(frames_rgb)
+        boxes_list = self.detector.detect_batch(frames_rgb,
+                                                max_det=self.max_det)
         per_frame = self.pose.batch_call(frames_rgb, boxes_list)
         out = []
         for img, (kpts, scores) in zip(frames_rgb, per_frame):

@@ -14,8 +14,12 @@ uint8 RGB frames with zero dependencies beyond PIL's JPEG encoder:
 
 Container logic is IO-bound host code; there is nothing to accelerate.
 cv2's mp4v encoder compresses better (inter-frame), so utils/image.py uses
-it when importable and falls back here — the pipeline then has no hard cv2
-dependency anywhere (VERDICT r3 item 8).
+it when importable and falls back here. Scope of the cv2 exit: the package
+has no hard cv2 dependency as long as the first-party C++ rasterizer
+builds (preproc/native_raster auto-builds with any C++ toolchain); in an
+environment with NEITHER cv2 NOR a toolchain, skeleton *rendering* (and
+only it) is unavailable — draw_pose's cv2 fallback raises ImportError
+(VERDICT r3 item 8; ADVICE r4 low).
 """
 
 from __future__ import annotations

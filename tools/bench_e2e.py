@@ -238,7 +238,12 @@ def main():
             # (50MB -> 12.5MB of tunnel traffic at 512^2 x 16f)
             pose_arr = np.concatenate(
                 [rp[None], pose_maps])[:args.frames].astype(np.uint8)
-            return np.transpose(pose_arr, (0, 2, 3, 1)), time.time() - t
+            # channel-reverse: match the checkpoint data contract (renders
+            # are stored channel-swapped by write_image_bgr_convention and
+            # loaded back as RGB — see cli/animate.py driving branch)
+            return (np.ascontiguousarray(
+                np.transpose(pose_arr, (0, 2, 3, 1))[..., ::-1]),
+                time.time() - t)
 
         return join
 
