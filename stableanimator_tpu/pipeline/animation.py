@@ -22,7 +22,6 @@ in cli/.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import sys
 import time
@@ -690,7 +689,10 @@ def _generate_body(models, params, ref_image, pose_pixels, face_embedding,
     return decode_frames(models, params, latents, cfg, mesh=mesh)
 
 
-_generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5, 7, 8))
+# face_opt (argnum 7) is a TRACED pytree (FaceOptimizer registers target/
+# boxes as leaves, cfg+callables as static aux): one cache entry per
+# optimizer structure, shared between warm_generate and generate
+_generate_jit = jax.jit(_generate_impl, static_argnums=(0, 5, 8))
 
 _prep_jit = jax.jit(_prepare_denoise_state, static_argnums=(0, 5))
 
@@ -712,25 +714,40 @@ def _denoise_segment(models, params, latents, context, image_latents,
 _segment_jit = jax.jit(_denoise_segment, static_argnums=(0, 7, 9, 10))
 
 
-def _make_face_opt_segment_jit(face_opt):
+def _denoise_segment_fo(models, params, latents, context, image_latents,
+                        add_time_ids, pose_latents, face_opt,
+                        cfg: PipelineConfig, step_start, num_steps: int,
+                        mesh):
     """Segment program with the HJB face-opt inner solver fused into each
-    Euler step. face_opt carries traced arrays (ArcFace weights, target
-    embedding, per-frame face boxes) and callables, so — exactly like the
-    flat path (generate():~face_opt branch) — the optimizer is closed over
-    and jitted per instance: one compilation per optimizer, reused across
-    all segments of the video (the dispatch loop calls this fn ~25 times)."""
+    Euler step. face_opt is a traced pytree argument (FaceOptimizer leaves =
+    target embedding + per-frame face boxes; its cfg and callables are the
+    static part of the jit key) — ONE compiled program serves every
+    optimizer built from the same callables, so warm_generate(face_opt=...)
+    with placeholder boxes warms exactly this program."""
+    schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
+    latents = denoise(models, params, latents, context, image_latents,
+                      add_time_ids, pose_latents, schedule, cfg,
+                      face_opt=face_opt, mesh=mesh,
+                      step_start=step_start, num_steps=num_steps)
+    return latents, step_start + num_steps
+
+
+_segment_fo_jit = jax.jit(_denoise_segment_fo, static_argnums=(0, 8, 10, 11))
+
+
+def _make_face_opt_segment_jit(face_opt):
+    """_segment_jit-signature adapter binding `face_opt` (see
+    _denoise_segment_fo; kept so _generate_segmented treats both segment
+    programs uniformly)."""
 
     def seg(models, params, latents, context, image_latents, add_time_ids,
             pose_latents, cfg: PipelineConfig, step_start, num_steps: int,
             mesh):
-        schedule = make_schedule(cfg.num_inference_steps, SchedulerConfig())
-        latents = denoise(models, params, latents, context, image_latents,
-                          add_time_ids, pose_latents, schedule, cfg,
-                          face_opt=face_opt, mesh=mesh,
-                          step_start=step_start, num_steps=num_steps)
-        return latents, step_start + num_steps
+        return _segment_fo_jit(models, params, latents, context,
+                               image_latents, add_time_ids, pose_latents,
+                               face_opt, cfg, step_start, num_steps, mesh)
 
-    return jax.jit(seg, static_argnums=(0, 7, 9, 10))
+    return seg
 
 _decode_jit = jax.jit(decode_frames, static_argnums=(0, 3, 4))
 
@@ -930,16 +947,9 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
                                        face_embedding, cfg, rng, spd,
                                        mesh=mesh, clip_image=clip_image,
                                        progress=progress, face_opt=face_opt)
-        if face_opt is not None:
-            # the optimizer carries traced arrays + callables; jit a closure
-            # over it (one-off compilation per optimizer instance)
-            fn = jax.jit(functools.partial(_generate_impl, models,
-                                           face_opt=face_opt, mesh=mesh,
-                                           clip_image=clip_image),
-                         static_argnums=(4,))  # cfg (models bound by partial)
-            return fn(params, ref_image, pose_pixels, face_embedding, cfg, rng)
         return _generate_jit(models, params, ref_image, pose_pixels,
-                             face_embedding, cfg, rng, None, mesh, clip_image)
+                             face_embedding, cfg, rng, face_opt, mesh,
+                             clip_image)
     finally:
         if tok is not None:
             from stableanimator_tpu.models.transformer import (
@@ -958,7 +968,7 @@ def _zeros_on_device(shape, dtype):
 
 def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
                   *, rng=None, mesh=None, uint8_inputs=True, clip_shape=None,
-                  execute: bool | str = "auto"):
+                  execute: bool | str = "auto", face_opt=None):
     """Compile every program `generate()` will dispatch for `cfg`, before the
     real inputs exist — so host-side preprocessing (DWPose extraction,
     checkpoint IO) can overlap the multi-minute remote compile instead of
@@ -981,6 +991,14 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
         persistent compile cache).
       True — dummy-execute the segmented path (same as "auto" today).
 
+    face_opt: optional FaceOptimizer — warm the face-opt programs instead
+      (the heaviest configuration; it both halves the auto segment size and
+      swaps in the HJB segment program). Build the optimizer with
+      placeholder boxes (make_face_optimizer(pose_pixels=None,
+      num_frames=F)) before pose extraction and swap the real boxes in
+      later with .with_boxes(): boxes/target are traced pytree leaves, so
+      the warmed cache entries still hit.
+
     Returns a dict of what was warmed (path, program count, executed).
     """
     cfg = dataclasses.replace(
@@ -989,7 +1007,7 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
         rng = jax.random.PRNGKey(0)
     h, w, f = cfg.height, cfg.width, cfg.num_frames
     dt = jnp.uint8 if uint8_inputs else jnp.float32
-    spd = resolve_steps_per_dispatch(cfg)
+    spd = resolve_steps_per_dispatch(cfg, face_opt is not None)
     tok = block_temporal_kernel() if mesh is not None else None
     try:
         if spd is None:
@@ -1004,8 +1022,9 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
             clip = (None if clip_shape is None else
                     jax.ShapeDtypeStruct((1, *clip_shape, 3), dt))
             _generate_jit.lower(models, params, ref, pose, emb, cfg, rng,
-                                None, mesh, clip).compile()
-            return {"path": "flat", "programs": 1, "executed": False}
+                                face_opt, mesh, clip).compile()
+            return {"path": "flat", "programs": 1, "executed": False,
+                    "face_opt": face_opt is not None}
 
         do_exec = execute in ("auto", True)
         ref = _zeros_on_device((1, h, w, 3), dt)
@@ -1024,9 +1043,38 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
                                   clip)
                 latents, context, image_latents, add_time_ids, pose_lat = state
             else:
-                _prep_jit.lower(models, params, ref, pose, emb, cfg, rng,
-                                clip).compile()
+                lowered = _prep_jit.lower(models, params, ref, pose, emb,
+                                          cfg, rng, clip)
+                lowered.compile()
+                # compile-only: continue from the prep program's OUTPUT
+                # ShapeDtypeStructs — lowering the downstream programs needs
+                # only abstract values (fixes the documented execute=False
+                # option on the segmented path)
+                latents, context, image_latents, add_time_ids, pose_lat = (
+                    lowered.out_info)
             programs += 1
+
+            def _warm_segment(latents, offset, k):
+                if face_opt is not None:
+                    if do_exec:
+                        return _segment_fo_jit(
+                            models, params, latents, context, image_latents,
+                            add_time_ids, pose_lat, face_opt, cfg, offset, k,
+                            mesh)
+                    _segment_fo_jit.lower(
+                        models, params, latents, context, image_latents,
+                        add_time_ids, pose_lat, face_opt, cfg, offset, k,
+                        mesh).compile()
+                elif do_exec:
+                    return _segment_jit(
+                        models, params, latents, context, image_latents,
+                        add_time_ids, pose_lat, cfg, offset, k, mesh)
+                else:
+                    _segment_jit.lower(
+                        models, params, latents, context, image_latents,
+                        add_time_ids, pose_lat, cfg, offset, k, mesh
+                    ).compile()
+                return latents, offset
 
             # distinct segment lengths the dispatch loop will use
             n = cfg.num_inference_steps
@@ -1035,15 +1083,7 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
                 ks.add(n % spd)
             offset = jnp.zeros((), jnp.int32)
             for k in sorted(ks, reverse=True):
-                if do_exec:
-                    latents, offset = _segment_jit(
-                        models, params, latents, context, image_latents,
-                        add_time_ids, pose_lat, cfg, offset, k, mesh)
-                else:
-                    _segment_jit.lower(
-                        models, params, latents, context, image_latents,
-                        add_time_ids, pose_lat, cfg, offset, k, mesh
-                    ).compile()
+                latents, offset = _warm_segment(latents, offset, k)
                 programs += 1
 
             # distinct decode programs (mirror _decode_dispatched)
@@ -1078,7 +1118,8 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
                 # the caller's join() then means "the chip is idle again"
                 jax.device_get(out[(0,) * out.ndim])
             return {"path": "segmented", "programs": programs,
-                    "executed": bool(do_exec)}
+                    "executed": bool(do_exec),
+                    "face_opt": face_opt is not None}
         finally:
             if mtok is not None:
                 ACTIVE_MESH.reset(mtok)

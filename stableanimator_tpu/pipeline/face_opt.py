@@ -54,6 +54,14 @@ class FaceOptimizer:
                 embeddings; typically a jitted OnnxFunction of glintr100.
     decode_fn:  callable (latents [F, h, w, 4], num_frames) -> frames
                 [F, H, W, 3] in [-1, 1]; a partial of the VAE decoder apply.
+
+    Registered as a JAX pytree: `target` and `face_boxes` are traced
+    leaves (they change per video — the boxes only exist after pose
+    extraction), while cfg + the two callables are static aux data. This
+    lets one GLOBAL jitted segment program serve every optimizer built
+    from the same callables, so `warm_generate(face_opt=...)` with
+    placeholder boxes pre-compiles exactly the program the later
+    `generate()` dispatches (boxes are data, not part of the jit key).
     """
 
     def __init__(self, cfg: FaceOptConfig, arcface_fn: Callable,
@@ -67,6 +75,29 @@ class FaceOptimizer:
         # [F, 2] int32 top-left (y, x) of each frame's face crop in latent
         # coordinates (from the driving pose's face keypoints)
         self.face_boxes = jnp.asarray(face_boxes, jnp.int32)
+
+    def with_boxes(self, face_boxes):
+        """Copy with new per-frame face boxes, SHARING cfg + callables —
+        the copy hits the same jit cache entries as the original (the
+        callables' identity is the static part of the key)."""
+        new = object.__new__(FaceOptimizer)
+        new.cfg = self.cfg
+        new.arcface_fn = self.arcface_fn
+        new.decode_fn = self.decode_fn
+        new.target = self.target
+        new.face_boxes = jnp.asarray(face_boxes, jnp.int32)
+        return new
+
+    def _tree_flatten(self):
+        return (self.target, self.face_boxes), (self.cfg, self.arcface_fn,
+                                                self.decode_fn)
+
+    @classmethod
+    def _tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.cfg, obj.arcface_fn, obj.decode_fn = aux
+        obj.target, obj.face_boxes = leaves
+        return obj
 
     def identity_cost(self, x0_latents):
         """1 - mean cosine similarity over frames. x0_latents [1, F, h, w, 4]
@@ -114,6 +145,13 @@ class FaceOptimizer:
         return jax.lax.cond(active, run, lambda x0: x0, x0_latents)
 
 
+jax.tree_util.register_pytree_node(
+    FaceOptimizer,
+    lambda o: o._tree_flatten(),
+    FaceOptimizer._tree_unflatten,
+)
+
+
 def face_boxes_from_pose_renders(pose_pixels, latent_h: int, latent_w: int,
                                  crop: int = 16):
     """Per-frame latent face-crop top-lefts from *rendered* pose images
@@ -142,7 +180,8 @@ def face_boxes_from_pose_renders(pose_pixels, latent_h: int, latent_w: int,
 
 def make_face_optimizer(models, params, cfg: FaceOptConfig, arcface_fn,
                         target_embedding, pose_pixels, latent_h: int,
-                        latent_w: int, channel_order: str = "reference"):
+                        latent_w: int, channel_order: str = "reference",
+                        num_frames: int | None = None):
     """Construct a FaceOptimizer from the real pipeline pieces.
 
     decode_fn wraps the real temporal-VAE decoder and owns the latent
@@ -181,8 +220,20 @@ def make_face_optimizer(models, params, cfg: FaceOptConfig, arcface_fn,
                if arc_weights is not None else arcface_fn(faces_nchw))
         return out[0] if isinstance(out, (tuple, list)) else out
 
-    boxes = face_boxes_from_pose_renders(pose_pixels, latent_h, latent_w,
-                                         cfg.latent_crop)
+    if pose_pixels is None:
+        # placeholder (centered) boxes: lets the optimizer be built BEFORE
+        # pose extraction finishes so warm_generate can pre-compile the
+        # face-opt programs during the overlap; swap the real boxes in
+        # later with .with_boxes() (boxes are traced leaves, not jit keys)
+        import numpy as np
+
+        y = max((latent_h - cfg.latent_crop) // 2, 0)
+        x = max((latent_w - cfg.latent_crop) // 2, 0)
+        boxes = np.broadcast_to(np.asarray((y, x), np.int32),
+                                (num_frames, 2)).copy()
+    else:
+        boxes = face_boxes_from_pose_renders(pose_pixels, latent_h, latent_w,
+                                             cfg.latent_crop)
     return FaceOptimizer(cfg, embed_fn, decode_fn, target_embedding, boxes)
 
 
