@@ -265,10 +265,14 @@ class UNetSpatioTemporal(nn.Module):
 
         # Under a mesh, pin the folded batch to shard over BOTH axes:
         # GSPMD drops the frame-axis part of the [B, F, ...] input sharding
-        # at the merge, leaving every spatial activation only data-sharded —
-        # measured on the (4,2) full-unet train step as 2x the expected
-        # activation memory (17.0 GB > 15.75; the fold constraint plus
-        # 8-way ZeRO is what fits it — tools/aot_v5e8.py train_full_sp).
+        # at the merge, leaving every spatial activation only data-sharded
+        # (2x the expected activation memory without this constraint).
+        # Note: even WITH it, the real-topology compile of the batch-4
+        # (data=4, frame=2) full-unet train step needs 17.00 GB > 15.75
+        # available (r5 tools/aot_v5e8.py train_full_sp: compiler
+        # RESOURCE_EXHAUSTED, recorded in ESTIMATE_V5E8_AOT.json); the
+        # configuration that fits v5e-8 is global batch 2 on (data=2,
+        # frame=4) with 2-step grad accumulation (train_full_sp_b2).
         from stableanimator_tpu.ops.gate import active_mesh
 
         mesh = active_mesh()

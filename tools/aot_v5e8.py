@@ -342,6 +342,18 @@ def target_train_full_sp():
                          zero_axes=("data", "frame"), frame_shard=True)
 
 
+def target_train_full_sp_b2():
+    """(data=2, frame=4) mesh, GLOBAL batch 2: the fallback after the
+    compiler refuted train_full_sp on the real topology (r5 run:
+    RESOURCE_EXHAUSTED, "Used 17.00G of 15.75G hbm" — batch 4 on (4,2)
+    does NOT fit). Per-chip folded batch halves (64/8=8 -> 32/8=4);
+    2 grad-accumulation steps restore the reference's effective batch
+    of 4 (command_train.sh: 4 GPUs x per_gpu_batch_size=1)."""
+    return _train_target(("unet", "pose_net", "face_encoder"),
+                         "train_full_sp_b2", mesh_shape=(2, 4), batch=2,
+                         zero_axes=("data", "frame"), frame_shard=True)
+
+
 def target_train_adapter():
     return _train_target(("pose_net", "face_encoder"), "train_adapter")
 
@@ -394,6 +406,7 @@ TARGETS = {
     "longvid": target_longvid,
     "train_full": target_train_full,
     "train_full_sp": target_train_full_sp,
+    "train_full_sp_b2": target_train_full_sp_b2,
     "train_adapter": target_train_adapter,
     "micro": target_micro,
 }

@@ -41,12 +41,15 @@ def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:8])
 
 
-def timed_chain(fn, q, iters, runs=3):
-    sync(fn(q, jnp.bfloat16(0.0)))  # compile + warmup
+def timed_chain(fn, q, k, v, iters, runs=3):
+    # k/v are ARGUMENTS, not closures: a closed-over [64,4096,5,64] bf16
+    # pair becomes 320 MB of inline constants and the remote compile
+    # service rejects the request (HTTP 413, observed r5)
+    sync(fn(q, k, v, jnp.bfloat16(0.0)))  # compile + warmup
     ts = []
     for i in range(runs):
         t0 = time.time()
-        sync(fn(q, jnp.bfloat16(1e-3 * (i + 1))))  # perturbed: no memo hit
+        sync(fn(q, k, v, jnp.bfloat16(1e-3 * (i + 1))))  # perturbed: no memo hit
         ts.append(time.time() - t0)
     return min(ts) / iters
 
@@ -90,15 +93,15 @@ def main():
                 min(_bk, fa._round_up(kl, 128)))
 
             @jax.jit
-            def chain(q0, di):
+            def chain(q0, kk, vv, di):
                 def body(carry, _):
-                    o = fa.flash_attention(carry + di, k, v)
+                    o = fa.flash_attention(carry + di, kk, vv)
                     return o.astype(carry.dtype), ()
 
                 return jax.lax.scan(body, q0, (), length=args.iters)[0]
 
             try:
-                report(f"ours {pair}", timed_chain(chain, q, args.iters))
+                report(f"ours {pair}", timed_chain(chain, q, k, v, args.iters))
             except Exception as e:
                 print(f"ours {pair} FAIL {type(e).__name__}", flush=True)
         fa._pick_blocks = orig
@@ -112,32 +115,34 @@ def main():
         scale = 1.0 / (d ** 0.5)
 
         @jax.jit
-        def chain_lib(q0, di):
+        def chain_lib(q0, kk, vv, di):
             def body(carry, _):
                 qt = jnp.transpose(carry + di, (0, 2, 1, 3))
-                o = fl.flash_attention(qt, kt, vt, sm_scale=scale)
+                o = fl.flash_attention(qt, kk, vv, sm_scale=scale)
                 return jnp.transpose(o, (0, 2, 1, 3)).astype(carry.dtype), ()
 
             return jax.lax.scan(body, q0, (), length=args.iters)[0]
 
         try:
-            report("jaxlib(+transposes)", timed_chain(chain_lib, q, args.iters))
+            report("jaxlib(+transposes)",
+                   timed_chain(chain_lib, q, kt, vt, args.iters))
         except Exception as e:
             print(f"jaxlib FAIL {type(e).__name__}: {e}", flush=True)
 
         # and without the layout conversions (kernel-only cost)
         @jax.jit
-        def chain_lib_raw(q0, di):
+        def chain_lib_raw(q0, kk, vv, di):
             qt = jnp.transpose(q0, (0, 2, 1, 3))
 
             def body(carry, _):
-                o = fl.flash_attention(carry + di, kt, vt, sm_scale=scale)
+                o = fl.flash_attention(carry + di, kk, vv, sm_scale=scale)
                 return o.astype(carry.dtype), ()
 
             return jax.lax.scan(body, qt, (), length=args.iters)[0]
 
         try:
-            report("jaxlib(raw)", timed_chain(chain_lib_raw, q, args.iters))
+            report("jaxlib(raw)",
+                   timed_chain(chain_lib_raw, q, kt, vt, args.iters))
         except Exception as e:
             print(f"jaxlib raw FAIL {type(e).__name__}: {e}", flush=True)
 
@@ -145,14 +150,14 @@ def main():
         from stableanimator_tpu.ops.attention import xla_attention
 
         @jax.jit
-        def chain_xla(q0, di):
+        def chain_xla(q0, kk, vv, di):
             def body(carry, _):
-                o = xla_attention(carry + di, k, v)
+                o = xla_attention(carry + di, kk, vv)
                 return o.astype(carry.dtype), ()
 
             return jax.lax.scan(body, q0, (), length=args.iters)[0]
 
-        report("xla", timed_chain(chain_xla, q, args.iters))
+        report("xla", timed_chain(chain_xla, q, k, v, args.iters))
 
     print(json.dumps({"shape": args.shape, "results": results}))
 
