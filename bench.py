@@ -87,8 +87,6 @@ def _emit(ok: bool) -> None:
             "fallback": _STATE["fallback"],
             "errors": _STATE["errors"][-3:],
             "quant": _STATE.get("quant", False),
-            "int8_pallas": os.environ.get("SA_INT8_PALLAS", "0"),
-            "temporal_kernel": _STATE.get("temporal_kernel", "0"),
             "decode_chunk": _STATE.get("decode_chunk", 4),
             "total_wall_s": round(time.time() - _T0, 1),
         },
@@ -221,13 +219,10 @@ def main():
     steps = 2 if micro else 25
 
     _STATE["phase"] = "param_init"
-    # A/B switches for perf experiments (recorded in the JSON detail):
-    # SA_BENCH_QUANT=1 -> int8 W8A8 transformer FF/projections;
-    # SA_INT8_PALLAS=1 -> fused Pallas W8A8 matmul (vs the XLA int8 path);
-    # SA_TPU_TEMPORAL_ATTN=1 -> Pallas spatial-layout temporal attention
+    # A/B switch (recorded in the JSON detail):
+    # SA_BENCH_QUANT=1 -> int8 W8A8 transformer FF/projections
     quant = os.environ.get("SA_BENCH_QUANT", "0") not in ("0", "")
     _STATE["quant"] = quant
-    _STATE["temporal_kernel"] = os.environ.get("SA_TPU_TEMPORAL_ATTN", "0")
     _STATE["frames"] = frames
     model_kwargs = {}
     if micro:

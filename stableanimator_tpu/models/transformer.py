@@ -37,37 +37,8 @@ from stableanimator_tpu.models.layers import (
     sinusoidal_embedding,
 )
 from stableanimator_tpu.ops.attention import dot_product_attention
-from stableanimator_tpu.ops.temporal_attention import temporal_attention_spatial
 
 Dtype = jnp.dtype
-
-
-# GSPMD cannot partition Mosaic custom calls: mesh-sharded graphs
-# (pipeline.generate(mesh=...), dp/sp training) must keep the XLA
-# formulation. pipeline code sets this while tracing sharded programs.
-# The gate is shared with every other optional Pallas kernel (ops/gate.py);
-# the historical names are kept for the pipeline's imports.
-from stableanimator_tpu.ops.gate import (  # noqa: E402
-    PALLAS_KERNELS_BLOCKED as _TEMPORAL_KERNEL_BLOCKED,
-    block_pallas_kernels as block_temporal_kernel,
-)
-
-
-def _use_temporal_kernel() -> bool:
-    """The Pallas spatial-layout temporal-attention kernel runs on TPU;
-    other backends keep the transpose + XLA formulation. SA_TPU_TEMPORAL_ATTN
-    overrides (1/0); default OFF until the kernel is compile-validated on a
-    real chip (interpret mode cannot check Mosaic lowering constraints)."""
-    import os
-
-    import jax
-
-    if _TEMPORAL_KERNEL_BLOCKED.get():
-        return False
-    env = os.environ.get("SA_TPU_TEMPORAL_ATTN")
-    if env is not None:
-        return env not in ("0", "false", "")
-    return False
 
 
 class Attention(nn.Module):
@@ -130,49 +101,43 @@ class Attention(nn.Module):
         sk = k.shape[1]
         if is_self and self.seq_axis_group is not None:
             b, f = self.seq_axis_group
-            if _use_temporal_kernel():
-                # Pallas kernel: frame-axis attention without leaving the
-                # spatial layout — no q/k/v/o transposes in HBM and no
-                # MXU-hostile 16-token batched matmuls
-                o = temporal_attention_spatial(q, k, v, f, self.heads)
-            else:
-                # Under a (data, frame) mesh the spatial layout shards
-                # frames; contracting over F would otherwise all-gather the
-                # whole activation across the frame axis (measured 83 GB /
-                # pro video, tools/estimate_multichip.py). Sequence-parallel
-                # reshard instead: constrain the frame-major tensors to
-                # shard their batch*spatial rows over BOTH mesh axes —
-                # GSPMD turns the transposes into all-to-alls (1/n of the
-                # data on the wire) and the attention itself is fully local.
-                from stableanimator_tpu.ops.gate import active_mesh
+            # Under a (data, frame) mesh the spatial layout shards
+            # frames; contracting over F would otherwise all-gather the
+            # whole activation across the frame axis (measured 83 GB /
+            # pro video, tools/estimate_multichip.py). Sequence-parallel
+            # reshard instead: constrain the frame-major tensors to
+            # shard their batch*spatial rows over BOTH mesh axes —
+            # GSPMD turns the transposes into all-to-alls (1/n of the
+            # data on the wire) and the attention itself is fully local.
+            from stableanimator_tpu.ops.gate import active_mesh
 
-                mesh = active_mesh()
+            mesh = active_mesh()
 
-                def _seqpar(t):
-                    # rows must tile evenly onto the mesh (tiny/micro
-                    # configs reach 1x1 spatial where they don't — keep
-                    # GSPMD's own choice there)
-                    if mesh is None or t.shape[0] % mesh.size != 0:
-                        return t
-                    from jax.sharding import NamedSharding, PartitionSpec
+            def _seqpar(t):
+                # rows must tile evenly onto the mesh (tiny/micro
+                # configs reach 1x1 spatial where they don't — keep
+                # GSPMD's own choice there)
+                if mesh is None or t.shape[0] % mesh.size != 0:
+                    return t
+                from jax.sharding import NamedSharding, PartitionSpec
 
-                    spec = PartitionSpec(tuple(mesh.axis_names),
-                                         *([None] * (t.ndim - 1)))
-                    return jax.lax.with_sharding_constraint(
-                        t, NamedSharding(mesh, spec))
+                spec = PartitionSpec(tuple(mesh.axis_names),
+                                     *([None] * (t.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    t, NamedSharding(mesh, spec))
 
-                def to_frame_major(t):
-                    t = t.reshape(b, f, sq, self.heads, self.dim_head)
-                    return _seqpar(t.transpose(0, 2, 1, 3, 4).reshape(
-                        b * sq, f, self.heads, self.dim_head))
+            def to_frame_major(t):
+                t = t.reshape(b, f, sq, self.heads, self.dim_head)
+                return _seqpar(t.transpose(0, 2, 1, 3, 4).reshape(
+                    b * sq, f, self.heads, self.dim_head))
 
-                q = q.reshape(n, sq, self.heads, self.dim_head)
-                k = k.reshape(n, sk, self.heads, self.dim_head)
-                v = v.reshape(n, sk, self.heads, self.dim_head)
-                o = dot_product_attention(to_frame_major(q), to_frame_major(k),
-                                          to_frame_major(v), use_flash=False)
-                o = (o.reshape(b, sq, f, self.heads, self.dim_head)
-                     .transpose(0, 2, 1, 3, 4)).reshape(n, sq, inner)
+            q = q.reshape(n, sq, self.heads, self.dim_head)
+            k = k.reshape(n, sk, self.heads, self.dim_head)
+            v = v.reshape(n, sk, self.heads, self.dim_head)
+            o = dot_product_attention(to_frame_major(q), to_frame_major(k),
+                                      to_frame_major(v), use_flash=False)
+            o = (o.reshape(b, sq, f, self.heads, self.dim_head)
+                 .transpose(0, 2, 1, 3, 4)).reshape(n, sq, inner)
         else:
             q = q.reshape(n, sq, self.heads, self.dim_head)
             k = k.reshape(n, sk, self.heads, self.dim_head)

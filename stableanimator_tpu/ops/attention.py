@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -46,30 +45,6 @@ def xla_attention(q, k, v, scale: float | None = None):
     logits = logits * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-
-
-def mulsum_attention(q, k, v, scale: float | None = None):
-    """Tiny-sequence attention (temporal F<=32) as broadcast-multiply +
-    reduce instead of batched matmuls. Same math as xla_attention (fp32
-    logits/softmax, input-dtype PV apply).
-
-    Why: at [B*HW, F, H, D] with F=16, XLA lowers the einsums to
-    base-dilated convolutions whose operands need materialised frame-major
-    layout copies (~12 ms/step of the 512^2 profile, the top entries of
-    the copy bucket). A mul+reduce formulation is a loop fusion, which
-    reads transposed inputs in place — the copies fuse away. The MXU is
-    wasted either way at 16x16; this trades its padded matmuls for VPU
-    work. (Opt-in SA_TEMPORAL_MULSUM; e2e A/B decides the default.)"""
-    d = q.shape[-1]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    # [b,q,1,h,d] * [b,1,k,h,d] --sum d--> [b,q,k,h]
-    logits = jnp.sum(qf[:, :, None] * kf[:, None], axis=-1) * scale
-    probs = jax.nn.softmax(logits, axis=2).astype(q.dtype)
-    # [b,q,k,h,1] * [b,1,k,h,d] --sum k--> [b,q,h,d]
-    return jnp.sum(probs[..., None] * v[:, None], axis=2)
 
 
 def _flash_sharded(q, k, v, scale, mesh):
@@ -123,7 +98,4 @@ def dot_product_attention(q, k, v, scale: float | None = None,
             # plain XLA keeps GSPMD free to partition however it likes
             return xla_attention(q, k, v, scale=scale)
         return flash_attention(q, k, v, scale=scale)
-    if (k.shape[1] <= 32 and _on_tpu()
-            and os.environ.get("SA_TEMPORAL_MULSUM", "0") not in ("0", "")):
-        return mulsum_attention(q, k, v, scale=scale)
     return xla_attention(q, k, v, scale=scale)

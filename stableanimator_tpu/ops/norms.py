@@ -13,33 +13,8 @@ animation/modules/unet.py and vae.py).
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 from jax import lax
-
-
-def _pallas_norm_mode() -> str:
-    """Fused Pallas LN/GN kernels (ops/norms_pallas.py) vs the XLA
-    formulation. SA_PALLAS_NORM: '1'/'both' = both kernel families,
-    'ln' / 'gn' = only that family (bisection + partial-win switch),
-    '0'/unset = XLA. Mesh-sharded traces always use XLA (GSPMD cannot
-    partition Mosaic calls)."""
-    from stableanimator_tpu.ops.gate import pallas_blocked
-
-    if pallas_blocked():
-        return "off"
-    env = os.environ.get("SA_PALLAS_NORM")
-    if env is None or env in ("0", "false", ""):
-        return "off"
-    if env in ("ln", "gn"):
-        return env
-    return "both"
-
-
-def _use_pallas_norm(which: str) -> bool:
-    mode = _pallas_norm_mode()
-    return mode == "both" or mode == which
 
 
 def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
@@ -51,15 +26,6 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     per-group fp32 scalars folded with scale/bias) — this keeps the HBM
     traffic at one read + one write of x instead of fp32 round-trips.
     """
-    if _use_pallas_norm("gn"):
-        from stableanimator_tpu.ops import norms_pallas as npl
-
-        if npl.gn_supported(x, num_groups):
-            return npl.group_norm_pallas(x, scale, bias, num_groups, eps)
-    return _group_norm_xla(x, scale, bias, num_groups, eps)
-
-
-def _group_norm_xla(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -86,15 +52,6 @@ def _group_norm_xla(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
 def layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis; fp32 statistics, fused affine apply in
     the input dtype (no fp32 copy of x)."""
-    if scale is not None and bias is not None and _use_pallas_norm("ln"):
-        from stableanimator_tpu.ops import norms_pallas as npl
-
-        if npl.ln_supported(x):
-            return npl.layer_norm_pallas(x, scale, bias, eps)
-    return _layer_norm_xla(x, scale, bias, eps)
-
-
-def _layer_norm_xla(x, scale, bias, eps: float = 1e-5):
     orig_dtype = x.dtype
     mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
     mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1, keepdims=True)

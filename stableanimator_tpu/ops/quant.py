@@ -55,35 +55,13 @@ def int8_matmul(x, w_q, w_scale):
     return out.astype(x.dtype)
 
 
-def _use_pallas_int8() -> bool:
-    """Fused Pallas W8A8 matmul (ops/quant_pallas.py) vs the XLA
-    formulation. SA_INT8_PALLAS overrides (1/0); default OFF until the
-    kernel's win is validated on a real chip. Mesh-sharded traces always
-    use XLA (GSPMD cannot partition Mosaic calls)."""
-    import os
-
-    from stableanimator_tpu.ops.gate import pallas_blocked
-
-    if pallas_blocked():
-        return False
-    env = os.environ.get("SA_INT8_PALLAS")
-    if env is not None:
-        return env not in ("0", "false", "")
-    return False
-
-
 def int8_dense(x, kernel, bias=None):
     """Drop-in for `x @ kernel + bias` through the int8 MXU path.
 
     kernel: [K, N] float param (quantized on the fly — loop-invariant, so
     hoisted out of scan loops by XLA); bias added in x.dtype."""
     wq, ws = quantize_weight(kernel)
-    if _use_pallas_int8():
-        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-        out = int8_matmul_pallas(x, wq, ws)
-    else:
-        out = int8_matmul(x, wq, ws)
+    out = int8_matmul(x, wq, ws)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -92,15 +70,10 @@ def int8_dense(x, kernel, bias=None):
 def int8_geglu(x, kernel, bias=None):
     """GEGLU projection through the int8 MXU path: kernel [K, 2N] holds
     [W_value | W_gate]; returns (xWv + bv) * gelu_exact(xWg + bg), shape
-    [..., N] (models/layers.py::GEGLU split order). On the Pallas path the
-    whole epilogue is fused into the matmul tiles."""
+    [..., N] (models/layers.py::GEGLU split order)."""
     wq, ws = quantize_weight(kernel)
-    if _use_pallas_int8():
-        from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
-
-        return int8_geglu_pallas(x, wq, ws, bias)
-    # single source of truth for the unfused formulation — it is also the
-    # fused kernel's VJP recompute target and test oracle
-    from stableanimator_tpu.ops.quant_pallas import _geglu_xla
-
-    return _geglu_xla(x, wq, ws, bias)
+    out = int8_matmul(x, wq, ws)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    value, gate = jnp.split(out, 2, axis=-1)
+    return value * jax.nn.gelu(gate, approximate=False)

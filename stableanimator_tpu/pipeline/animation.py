@@ -58,7 +58,6 @@ from stableanimator_tpu.models.clip import (
 )
 from stableanimator_tpu.models.id_encoder import FusionFaceId
 from stableanimator_tpu.models.pose_net import PoseNet
-from stableanimator_tpu.models.transformer import block_temporal_kernel
 from stableanimator_tpu.models.unet import UNetSpatioTemporal
 from stableanimator_tpu.models.vae import AutoencoderKLTemporalDecoder
 from stableanimator_tpu.ops.resize import resize_antialias
@@ -934,28 +933,15 @@ def generate(models: AnimationModels, params, ref_image, pose_pixels,
         num_frames=pose_pixels.shape[0],
         tile_size=min(cfg.tile_size, pose_pixels.shape[0]),
     )
-    # mesh-sharded graphs must not trace the Pallas temporal-attention
-    # kernel (GSPMD cannot partition Mosaic custom calls); tracing happens
-    # synchronously inside the jit call below, so a contextvar guard works.
-    # (_generate_impl itself publishes the mesh for the temporal blocks'
-    # sequence-parallel resharding hints.)
-    tok = block_temporal_kernel() if mesh is not None else None
-    try:
-        spd = resolve_steps_per_dispatch(cfg, face_opt is not None)
-        if spd is not None:
-            return _generate_segmented(models, params, ref_image, pose_pixels,
-                                       face_embedding, cfg, rng, spd,
-                                       mesh=mesh, clip_image=clip_image,
-                                       progress=progress, face_opt=face_opt)
-        return _generate_jit(models, params, ref_image, pose_pixels,
-                             face_embedding, cfg, rng, face_opt, mesh,
-                             clip_image)
-    finally:
-        if tok is not None:
-            from stableanimator_tpu.models.transformer import (
-                _TEMPORAL_KERNEL_BLOCKED)
-
-            _TEMPORAL_KERNEL_BLOCKED.reset(tok)
+    spd = resolve_steps_per_dispatch(cfg, face_opt is not None)
+    if spd is not None:
+        return _generate_segmented(models, params, ref_image, pose_pixels,
+                                   face_embedding, cfg, rng, spd,
+                                   mesh=mesh, clip_image=clip_image,
+                                   progress=progress, face_opt=face_opt)
+    return _generate_jit(models, params, ref_image, pose_pixels,
+                         face_embedding, cfg, rng, face_opt, mesh,
+                         clip_image)
 
 
 def _zeros_on_device(shape, dtype):
@@ -1008,124 +994,116 @@ def warm_generate(models: AnimationModels, params, cfg: PipelineConfig,
     h, w, f = cfg.height, cfg.width, cfg.num_frames
     dt = jnp.uint8 if uint8_inputs else jnp.float32
     spd = resolve_steps_per_dispatch(cfg, face_opt is not None)
-    tok = block_temporal_kernel() if mesh is not None else None
-    try:
-        if spd is None:
-            # flat path: one program; AOT compile from shape structs (no
-            # arrays, no transfer). The later real call re-traces but the
-            # backend compile is a persistent-cache hit.
-            ref = jax.ShapeDtypeStruct((1, h, w, 3), dt)
-            pose = jax.ShapeDtypeStruct((f, h, w, 3), dt)
-            emb = jax.ShapeDtypeStruct(
-                (1, models.face_encoder.config.id_embeddings_dim),
-                jnp.float32)
-            clip = (None if clip_shape is None else
-                    jax.ShapeDtypeStruct((1, *clip_shape, 3), dt))
-            _generate_jit.lower(models, params, ref, pose, emb, cfg, rng,
-                                face_opt, mesh, clip).compile()
-            return {"path": "flat", "programs": 1, "executed": False,
-                    "face_opt": face_opt is not None}
-
-        do_exec = execute in ("auto", True)
-        ref = _zeros_on_device((1, h, w, 3), dt)
-        pose = _zeros_on_device((f, h, w, 3), dt)
-        emb = _zeros_on_device(
-            (1, models.face_encoder.config.id_embeddings_dim), jnp.float32)
+    if spd is None:
+        # flat path: one program; AOT compile from shape structs (no
+        # arrays, no transfer). The later real call re-traces but the
+        # backend compile is a persistent-cache hit.
+        ref = jax.ShapeDtypeStruct((1, h, w, 3), dt)
+        pose = jax.ShapeDtypeStruct((f, h, w, 3), dt)
+        emb = jax.ShapeDtypeStruct(
+            (1, models.face_encoder.config.id_embeddings_dim),
+            jnp.float32)
         clip = (None if clip_shape is None else
-                _zeros_on_device((1, *clip_shape, 3), dt))
-        from stableanimator_tpu.ops.gate import ACTIVE_MESH
+                jax.ShapeDtypeStruct((1, *clip_shape, 3), dt))
+        _generate_jit.lower(models, params, ref, pose, emb, cfg, rng,
+                            face_opt, mesh, clip).compile()
+        return {"path": "flat", "programs": 1, "executed": False,
+                "face_opt": face_opt is not None}
 
-        mtok = ACTIVE_MESH.set(mesh) if mesh is not None else None
-        programs = 0
-        try:
-            if do_exec:
-                state = _prep_jit(models, params, ref, pose, emb, cfg, rng,
-                                  clip)
-                latents, context, image_latents, add_time_ids, pose_lat = state
-            else:
-                lowered = _prep_jit.lower(models, params, ref, pose, emb,
-                                          cfg, rng, clip)
-                lowered.compile()
-                # compile-only: continue from the prep program's OUTPUT
-                # ShapeDtypeStructs — lowering the downstream programs needs
-                # only abstract values (fixes the documented execute=False
-                # option on the segmented path)
-                latents, context, image_latents, add_time_ids, pose_lat = (
-                    lowered.out_info)
-            programs += 1
+    do_exec = execute in ("auto", True)
+    ref = _zeros_on_device((1, h, w, 3), dt)
+    pose = _zeros_on_device((f, h, w, 3), dt)
+    emb = _zeros_on_device(
+        (1, models.face_encoder.config.id_embeddings_dim), jnp.float32)
+    clip = (None if clip_shape is None else
+            _zeros_on_device((1, *clip_shape, 3), dt))
+    from stableanimator_tpu.ops.gate import ACTIVE_MESH
 
-            def _warm_segment(latents, offset, k):
-                if face_opt is not None:
-                    if do_exec:
-                        return _segment_fo_jit(
-                            models, params, latents, context, image_latents,
-                            add_time_ids, pose_lat, face_opt, cfg, offset, k,
-                            mesh)
-                    _segment_fo_jit.lower(
+    mtok = ACTIVE_MESH.set(mesh) if mesh is not None else None
+    programs = 0
+    try:
+        if do_exec:
+            state = _prep_jit(models, params, ref, pose, emb, cfg, rng,
+                              clip)
+            latents, context, image_latents, add_time_ids, pose_lat = state
+        else:
+            lowered = _prep_jit.lower(models, params, ref, pose, emb,
+                                      cfg, rng, clip)
+            lowered.compile()
+            # compile-only: continue from the prep program's OUTPUT
+            # ShapeDtypeStructs — lowering the downstream programs needs
+            # only abstract values (fixes the documented execute=False
+            # option on the segmented path)
+            latents, context, image_latents, add_time_ids, pose_lat = (
+                lowered.out_info)
+        programs += 1
+
+        def _warm_segment(latents, offset, k):
+            if face_opt is not None:
+                if do_exec:
+                    return _segment_fo_jit(
                         models, params, latents, context, image_latents,
                         add_time_ids, pose_lat, face_opt, cfg, offset, k,
-                        mesh).compile()
-                elif do_exec:
-                    return _segment_jit(
-                        models, params, latents, context, image_latents,
-                        add_time_ids, pose_lat, cfg, offset, k, mesh)
-                else:
-                    _segment_jit.lower(
-                        models, params, latents, context, image_latents,
-                        add_time_ids, pose_lat, cfg, offset, k, mesh
-                    ).compile()
-                return latents, offset
-
-            # distinct segment lengths the dispatch loop will use
-            n = cfg.num_inference_steps
-            ks = {min(spd, n)}
-            if n % spd:
-                ks.add(n % spd)
-            offset = jnp.zeros((), jnp.int32)
-            for k in sorted(ks, reverse=True):
-                latents, offset = _warm_segment(latents, offset, k)
-                programs += 1
-
-            # distinct decode programs (mirror _decode_dispatched)
-            h8, w8 = h // 8, w // 8
-            chunk = min(cfg.decode_chunk_size, f)
-            per = chunk * max(1, cfg.batched_decode_max_latent_volume
-                              // max(chunk * h8 * w8, 1))
-            if mesh is not None or f <= per:
-                if do_exec:
-                    out = _decode_jit(models, params, latents, cfg, mesh)
-                else:
-                    _decode_jit.lower(models, params, latents, cfg,
-                                      mesh).compile()
-                programs += 1
+                        mesh)
+                _segment_fo_jit.lower(
+                    models, params, latents, context, image_latents,
+                    add_time_ids, pose_lat, face_opt, cfg, offset, k,
+                    mesh).compile()
+            elif do_exec:
+                return _segment_jit(
+                    models, params, latents, context, image_latents,
+                    add_time_ids, pose_lat, cfg, offset, k, mesh)
             else:
-                gs = {per}
-                if f % per:
-                    gs.add(f % per)
-                start = jnp.zeros((), jnp.int32)
-                out = None
-                for g in sorted(gs, reverse=True):
-                    if do_exec:
-                        out, start = _decode_group_jit(models, params,
-                                                       latents, start, cfg,
-                                                       g, mesh)
-                    else:
-                        _decode_group_jit.lower(models, params, latents,
-                                                start, cfg, g, mesh).compile()
-                    programs += 1
-            if do_exec:
-                # one-element fetch = the only true sync on remote TPUs;
-                # the caller's join() then means "the chip is idle again"
-                jax.device_get(out[(0,) * out.ndim])
-            return {"path": "segmented", "programs": programs,
-                    "executed": bool(do_exec),
-                    "face_opt": face_opt is not None}
-        finally:
-            if mtok is not None:
-                ACTIVE_MESH.reset(mtok)
-    finally:
-        if tok is not None:
-            from stableanimator_tpu.models.transformer import (
-                _TEMPORAL_KERNEL_BLOCKED)
+                _segment_jit.lower(
+                    models, params, latents, context, image_latents,
+                    add_time_ids, pose_lat, cfg, offset, k, mesh
+                ).compile()
+            return latents, offset
 
-            _TEMPORAL_KERNEL_BLOCKED.reset(tok)
+        # distinct segment lengths the dispatch loop will use
+        n = cfg.num_inference_steps
+        ks = {min(spd, n)}
+        if n % spd:
+            ks.add(n % spd)
+        offset = jnp.zeros((), jnp.int32)
+        for k in sorted(ks, reverse=True):
+            latents, offset = _warm_segment(latents, offset, k)
+            programs += 1
+
+        # distinct decode programs (mirror _decode_dispatched)
+        h8, w8 = h // 8, w // 8
+        chunk = min(cfg.decode_chunk_size, f)
+        per = chunk * max(1, cfg.batched_decode_max_latent_volume
+                          // max(chunk * h8 * w8, 1))
+        if mesh is not None or f <= per:
+            if do_exec:
+                out = _decode_jit(models, params, latents, cfg, mesh)
+            else:
+                _decode_jit.lower(models, params, latents, cfg,
+                                  mesh).compile()
+            programs += 1
+        else:
+            gs = {per}
+            if f % per:
+                gs.add(f % per)
+            start = jnp.zeros((), jnp.int32)
+            out = None
+            for g in sorted(gs, reverse=True):
+                if do_exec:
+                    out, start = _decode_group_jit(models, params,
+                                                   latents, start, cfg,
+                                                   g, mesh)
+                else:
+                    _decode_group_jit.lower(models, params, latents,
+                                            start, cfg, g, mesh).compile()
+                programs += 1
+        if do_exec:
+            # one-element fetch = the only true sync on remote TPUs;
+            # the caller's join() then means "the chip is idle again"
+            jax.device_get(out[(0,) * out.ndim])
+        return {"path": "segmented", "programs": programs,
+                "executed": bool(do_exec),
+                "face_opt": face_opt is not None}
+    finally:
+        if mtok is not None:
+            ACTIVE_MESH.reset(mtok)

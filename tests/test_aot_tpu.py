@@ -38,20 +38,6 @@ def _compile(fn, args, mesh):
     jax.jit(wrapped).lower(*args).compile()
 
 
-@pytest.mark.parametrize("b,f,s,h,d", [
-    (2, 16, 4096, 5, 64),    # 512^2 level-0
-    (2, 16, 9216, 5, 64),    # 576x1024 level-0
-    (2, 16, 64, 20, 64),     # mid block
-])
-def test_temporal_attention_lowers_on_v5e(b, f, s, h, d):
-    from stableanimator_tpu.ops.temporal_attention import (
-        temporal_attention_spatial)
-
-    mesh = _topology_mesh()
-    q = jax.ShapeDtypeStruct((b * f, s, h * d), jnp.bfloat16)
-    _compile(lambda q, k, v: temporal_attention_spatial(q, k, v, f, h),
-             (q, q, q), mesh)
-
 
 @pytest.mark.parametrize("b,s,h,d", [(32, 4096, 5, 64), (4, 4096, 1, 512)])
 def test_flash_attention_lowers_on_v5e(b, s, h, d):
@@ -62,36 +48,6 @@ def test_flash_attention_lowers_on_v5e(b, s, h, d):
     _compile(lambda q, k, v: flash_attention(q, k, v), (q, q, q), mesh)
 
 
-@pytest.mark.parametrize("m,k,n", [
-    (32 * 4096, 320, 2560),    # L0 GEGLU (K below one lane tile -> pad 384)
-    (32 * 256, 1280, 10240),   # L2/L3 GEGLU
-    (32 * 256, 5120, 1280),    # L2/L3 FF out
-])
-def test_int8_w8a8_lowers_on_v5e(m, k, n):
-    from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-    mesh = _topology_mesh()
-    x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
-    wq = jax.ShapeDtypeStruct((k, n), jnp.int8)
-    ws = jax.ShapeDtypeStruct((n,), jnp.float32)
-    _compile(lambda x, wq, ws: int8_matmul_pallas(x, wq, ws),
-             (x, wq, ws), mesh)
-
-
-@pytest.mark.parametrize("m,k,n2", [
-    (32 * 4096, 320, 2560),    # L0 GEGLU
-    (32 * 256, 1280, 10240),   # L2/L3 GEGLU
-])
-def test_int8_geglu_lowers_on_v5e(m, k, n2):
-    from stableanimator_tpu.ops.quant_pallas import int8_geglu_pallas
-
-    mesh = _topology_mesh()
-    x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
-    wq = jax.ShapeDtypeStruct((k, n2), jnp.int8)
-    ws = jax.ShapeDtypeStruct((n2,), jnp.float32)
-    b = jax.ShapeDtypeStruct((n2,), jnp.float32)
-    _compile(lambda x, wq, ws, b: int8_geglu_pallas(x, wq, ws, b),
-             (x, wq, ws, b), mesh)
 
 
 def test_v5e8_topology_aot_micro_generate():

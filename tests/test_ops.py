@@ -69,24 +69,6 @@ class TestAttention:
         ref = F.scaled_dot_product_attention(tq, tk, tv).permute(0, 2, 1, 3).numpy()
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
-    def test_mulsum_attention_matches_xla(self):
-        """Tiny-F temporal formulation (SA_TEMPORAL_MULSUM) == einsum math."""
-        from stableanimator_tpu.ops.attention import mulsum_attention
-
-        q = _rand(3, 16, 5, 64, seed=3)
-        k = _rand(3, 16, 5, 64, seed=4)
-        v = _rand(3, 16, 5, 64, seed=5)
-        ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
-                                       jnp.asarray(v)))
-        out = np.asarray(mulsum_attention(jnp.asarray(q), jnp.asarray(k),
-                                          jnp.asarray(v)))
-        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
-
-        # bf16 inputs: same rounding points (fp32 logits, input-dtype PV)
-        qb, kb, vb = (jnp.asarray(t, jnp.bfloat16) for t in (q, k, v))
-        ref = np.asarray(xla_attention(qb, kb, vb), np.float32)
-        out = np.asarray(mulsum_attention(qb, kb, vb), np.float32)
-        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
     @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 300), (128, 512)])
     def test_flash_matches_xla(self, sq, sk):
@@ -374,362 +356,3 @@ class TestInt8Quant:
         assert out.shape == ref.shape
         assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
 
-
-class TestInt8PallasKernel:
-    """Fused W8A8 Pallas matmul (ops/quant_pallas.py) vs the XLA
-    formulation it must bit-match (interpret mode on CPU)."""
-
-    @staticmethod
-    def _boundary_free_x(m, k, seed, dtype):
-        """Activations whose quantization is STABLE under 1-ulp scale
-        perturbations: x = xq_true * 2^e rows (exact in bf16 for |xq|<=63,
-        and 127 itself is 7 mantissa bits), with the row max pinned to
-        +/-127 * 2^e so the recomputed scale is the row scale. x/s then
-        lands ~0.5 away from every round-half boundary, so BOTH
-        compilations must produce bit-identical xq — isolating the kernel's
-        math from the compiler's 1-ulp freedom in max|x|/127 (a +/-1 shift
-        of one xq element would otherwise perturb a whole output row by
-        s_x*|w[k,:]|, which no elementwise tolerance can bound tightly)."""
-        r = np.random.default_rng(seed)
-        xq = r.integers(-63, 64, size=(m, k)).astype(np.float32)
-        xq[:, 0] = np.where(r.random(m) < 0.5, 127.0, -127.0)
-        s_row = np.exp2(r.integers(-6, 3, size=(m, 1))).astype(np.float32)
-        return jnp.asarray(xq * s_row, dtype), xq, s_row
-
-    @pytest.mark.parametrize("m,k,n", [
-        (64, 320, 1280),      # K not a lane multiple (320 -> pad 384)
-        (100, 640, 2560),     # M unaligned
-        (256, 1280, 5120),    # the measured FF shape family
-        (33, 1280, 1000),     # M and N unaligned
-    ])
-    def test_matches_xla_formulation(self, m, k, n):
-        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-        x, xq_true, s_row = self._boundary_free_x(m, k, 20, jnp.bfloat16)
-        w = jnp.asarray(_rand(k, n, seed=21) * 0.05)
-        wq, ws = quantize_weight(w)
-        ref = np.asarray(int8_matmul(x, wq, ws), np.float32)
-        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True),
-                         np.float32)
-        # xq is forced identical by construction; the only remaining
-        # freedom is 1 ulp in the fp32 scale product -> at most 1 ulp of
-        # the bf16 output (2^-8 relative)
-        np.testing.assert_allclose(out, ref, rtol=2.0 ** -7, atol=1e-6)
-        assert (out == ref).mean() > 0.99
-        # and both must equal the exact integer math dequantized
-        exact = (xq_true @ np.asarray(wq, np.float32)) \
-            * (s_row * np.asarray(ws, np.float32)[None, :])
-        np.testing.assert_allclose(out, exact, rtol=2.0 ** -7,
-                                   atol=2.0 ** -7 * np.abs(exact).max())
-
-    def test_random_data_tracks_fp32_matmul(self):
-        """On arbitrary data the pallas path must meet the same accuracy
-        budget vs the exact fp32 matmul as the XLA int8 path (quant error,
-        not kernel error, dominates)."""
-        from stableanimator_tpu.ops.quant import quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-        x = jnp.asarray(_rand(64, 320, seed=5))
-        w = jnp.asarray(_rand(320, 1280, seed=6) * 0.05)
-        wq, ws = quantize_weight(w)
-        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True))
-        ref = np.asarray(x @ w)
-        denom = np.maximum(np.abs(ref), np.percentile(np.abs(ref), 50))
-        assert np.median(np.abs(out - ref) / denom) < 0.02
-        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
-
-    def test_batched_input_and_fp32(self):
-        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-        x = jnp.asarray(_rand(2, 40, 320, seed=22))  # [B, S, K] fp32
-        w = jnp.asarray(_rand(320, 640, seed=23) * 0.05)
-        wq, ws = quantize_weight(w)
-        ref = np.asarray(int8_matmul(x, wq, ws))
-        out = np.asarray(int8_matmul_pallas(x, wq, ws, interpret=True))
-        assert out.shape == (2, 40, 640)
-        # fp32 output: only the rare quant-boundary shifts can differ
-        x32 = np.asarray(x, np.float32).reshape(-1, 320)
-        s_x = np.maximum(np.abs(x32).max(-1, keepdims=True) / 127.0, 1e-12)
-        step = (s_x * np.asarray(ws, np.float32)[None, :]).reshape(ref.shape)
-        assert (np.abs(out - ref) <= 1e-5 * np.abs(ref) + 1.5 * step).all()
-        assert (out == ref).mean() > 0.9
-
-    def test_grads_flow_via_xla_vjp(self):
-        from stableanimator_tpu.ops.quant import int8_matmul, quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import int8_matmul_pallas
-
-        x = jnp.asarray(_rand(16, 128, seed=24))
-        w = jnp.asarray(_rand(128, 256, seed=25) * 0.05)
-        wq, ws = quantize_weight(w)
-        g_pl = jax.grad(lambda a: jnp.sum(
-            int8_matmul_pallas(a, wq, ws, interpret=True) ** 2))(x)
-        g_ref = jax.grad(lambda a: jnp.sum(int8_matmul(a, wq, ws) ** 2))(x)
-        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                                   rtol=1e-5, atol=1e-5)
-
-    @pytest.mark.parametrize("m,k,n2", [(64, 320, 2560), (33, 640, 5120)])
-    def test_geglu_fused_matches_unfused(self, m, k, n2):
-        """Fused GEGLU kernel vs the unfused int8 path. The fused kernel
-        keeps bias+gelu+mul in fp32 where the unfused path rounds the
-        projection to the IO dtype first, so parity is to a few output
-        ulps, not bit-exact."""
-        from stableanimator_tpu.ops.quant import quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import (
-            _geglu_xla, int8_geglu_pallas)
-
-        x, _, _ = self._boundary_free_x(m, k, 30, jnp.bfloat16)
-        w = jnp.asarray(_rand(k, n2, seed=31) * 0.05)
-        b = jnp.asarray(_rand(n2, seed=32) * 0.1)
-        wq, ws = quantize_weight(w)
-        ref = np.asarray(_geglu_xla(x, wq, ws, b), np.float32)
-        out = np.asarray(int8_geglu_pallas(x, wq, ws, b, interpret=True),
-                         np.float32)
-        assert out.shape == (m, n2 // 2)
-        scale = np.abs(ref).max()
-        np.testing.assert_allclose(out, ref, rtol=2.0 ** -6,
-                                   atol=2.0 ** -6 * scale)
-
-    def test_geglu_no_bias_and_grads(self):
-        from stableanimator_tpu.ops.quant import quantize_weight
-        from stableanimator_tpu.ops.quant_pallas import (
-            _geglu_xla, int8_geglu_pallas)
-
-        x = jnp.asarray(_rand(16, 128, seed=33))
-        w = jnp.asarray(_rand(128, 256, seed=34) * 0.05)
-        wq, ws = quantize_weight(w)
-        out = np.asarray(int8_geglu_pallas(x, wq, ws, None, interpret=True))
-        ref = np.asarray(_geglu_xla(x, wq, ws, None))
-        np.testing.assert_allclose(out, ref, rtol=1e-4,
-                                   atol=1e-4 * np.abs(ref).max())
-        g_pl = jax.grad(lambda a: jnp.sum(
-            int8_geglu_pallas(a, wq, ws, None, interpret=True) ** 2))(x)
-        g_ref = jax.grad(lambda a: jnp.sum(_geglu_xla(a, wq, ws, None) ** 2))(x)
-        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_geglu_module_tree_and_quant_xla_parity(self):
-        """GEGLU(quant=True) must keep the proj/{kernel,bias} tree AND its
-        XLA-path output must be unchanged by the int8_geglu refactor
-        (projection -> bias -> split -> exact gelu, in that order)."""
-        from stableanimator_tpu.models.layers import GEGLU
-        from stableanimator_tpu.ops.quant import int8_dense
-
-        x = jnp.asarray(_rand(4, 16, 32, seed=35))
-        q = GEGLU(64, quant=True)
-        f = GEGLU(64, quant=False)
-        pq = q.init(jax.random.PRNGKey(0), x)
-        pf = f.init(jax.random.PRNGKey(0), x)
-        assert (jax.tree_util.tree_structure(pq)
-                == jax.tree_util.tree_structure(pf))
-        out = np.asarray(q.apply(pf, x))
-        k, b = pf["params"]["proj"]["kernel"], pf["params"]["proj"]["bias"]
-        proj = int8_dense(x, k, b)
-        v, g = jnp.split(proj, 2, axis=-1)
-        want = np.asarray(v * jax.nn.gelu(g, approximate=False))
-        np.testing.assert_array_equal(out, want)
-
-    def test_env_gate_and_mesh_block(self, monkeypatch):
-        from stableanimator_tpu.ops import gate
-        from stableanimator_tpu.ops.quant import _use_pallas_int8
-
-        monkeypatch.delenv("SA_INT8_PALLAS", raising=False)
-        assert _use_pallas_int8() is False          # default OFF
-        monkeypatch.setenv("SA_INT8_PALLAS", "1")
-        assert _use_pallas_int8() is True
-        tok = gate.block_pallas_kernels()           # sharded-trace guard wins
-        try:
-            assert _use_pallas_int8() is False
-        finally:
-            gate.PALLAS_KERNELS_BLOCKED.reset(tok)
-
-    def test_temporal_kernel_shares_the_gate(self, monkeypatch):
-        from stableanimator_tpu.models.transformer import _use_temporal_kernel
-        from stableanimator_tpu.ops import gate
-
-        monkeypatch.setenv("SA_TPU_TEMPORAL_ATTN", "1")
-        assert _use_temporal_kernel() is True
-        tok = gate.block_pallas_kernels()
-        try:
-            assert _use_temporal_kernel() is False
-        finally:
-            gate.PALLAS_KERNELS_BLOCKED.reset(tok)
-
-
-class TestTemporalAttentionKernel:
-    """Pallas spatial-layout temporal attention (ops/temporal_attention.py)
-    vs the transpose + XLA reference formulation."""
-
-    @pytest.mark.parametrize("b,f,s,heads,d", [
-        (2, 16, 64, 5, 64),   # model shape (scaled-down S)
-        (1, 4, 33, 2, 16),    # unpadded S, small frames
-        (2, 2, 1, 2, 8),      # 1x1 spatial (tiny-config mid block)
-    ])
-    def test_matches_reference(self, b, f, s, heads, d):
-        from stableanimator_tpu.ops.temporal_attention import (
-            _reference_jnp,
-            temporal_attention_spatial,
-        )
-
-        hd = heads * d
-        rng = np.random.default_rng(42)
-        q = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-        out = np.asarray(temporal_attention_spatial(
-            q, k, v, f, heads, interpret=True))
-        ref = np.asarray(_reference_jnp(q, k, v, f, heads,
-                                        1.0 / np.sqrt(d)))
-        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
-
-    def test_gradients_match_reference(self):
-        from stableanimator_tpu.ops.temporal_attention import (
-            _reference_jnp,
-            temporal_attention_spatial,
-        )
-
-        b, f, s, heads, d = 1, 4, 16, 2, 16
-        hd = heads * d
-        rng = np.random.default_rng(7)
-        q = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(b * f, s, hd)), jnp.float32)
-
-        def loss_kernel(q, k, v):
-            return jnp.sum(jnp.square(temporal_attention_spatial(
-                q, k, v, f, heads, interpret=True)))
-
-        def loss_ref(q, k, v):
-            return jnp.sum(jnp.square(_reference_jnp(
-                q, k, v, f, heads, 1.0 / np.sqrt(d))))
-
-        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-        for a, r in zip(gk, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
-                                       rtol=2e-4, atol=2e-4)
-
-
-class TestPallasNorms:
-    """Fused Pallas LN/GN (ops/norms_pallas.py) vs the XLA formulation in
-    ops/norms.py they must match (interpret mode on CPU). Same fp32-stats /
-    input-dtype-apply rounding order, so tolerances are reduction-order
-    noise only."""
-
-    @pytest.mark.parametrize("rows,c,dtype", [
-        (1024, 320, jnp.bfloat16),    # UNet level-0 LN family
-        (512, 640, jnp.bfloat16),
-        (256, 1280, jnp.float32),
-        (257, 1280, jnp.bfloat16),    # CLIP token count: odd row fallback
-    ])
-    def test_layer_norm_matches_xla(self, rows, c, dtype):
-        from stableanimator_tpu.ops.norms import _layer_norm_xla
-        from stableanimator_tpu.ops.norms_pallas import layer_norm_pallas
-
-        x = jnp.asarray(_rand(rows, c, seed=3) * 2.0, dtype)
-        scale = jnp.asarray(1.0 + 0.1 * _rand(c, seed=4))
-        bias = jnp.asarray(0.1 * _rand(c, seed=5))
-        ref = np.asarray(_layer_norm_xla(x, scale, bias), np.float32)
-        out = np.asarray(layer_norm_pallas(x, scale, bias, 1e-5, True),
-                         np.float32)
-        tol = 2.0 ** -7 if dtype == jnp.bfloat16 else 1e-5
-        np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
-
-    @pytest.mark.parametrize("n,s,c,g,dtype", [
-        (4, 4096, 320, 32, jnp.bfloat16),   # UNet level-0 resblock GN
-        (2, 1024, 640, 32, jnp.bfloat16),
-        (2, 256, 1280, 32, jnp.float32),
-    ])
-    def test_group_norm_matches_xla(self, n, s, c, g, dtype):
-        from stableanimator_tpu.ops.norms import _group_norm_xla
-        from stableanimator_tpu.ops.norms_pallas import group_norm_pallas
-
-        x = jnp.asarray(_rand(n, s, c, seed=6) * 2.0 + 0.5, dtype)
-        scale = jnp.asarray(1.0 + 0.1 * _rand(c, seed=7))
-        bias = jnp.asarray(0.1 * _rand(c, seed=8))
-        ref = np.asarray(_group_norm_xla(x, scale, bias, g), np.float32)
-        out = np.asarray(group_norm_pallas(x, scale, bias, g, 1e-5, True),
-                         np.float32)
-        tol = 2.0 ** -7 if dtype == jnp.bfloat16 else 1e-5
-        np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
-
-    def test_group_norm_4d_input(self):
-        """Model call sites pass [N, H, W, C]; the wrapper flattens."""
-        from stableanimator_tpu.ops.norms import _group_norm_xla
-        from stableanimator_tpu.ops.norms_pallas import group_norm_pallas
-
-        x = jnp.asarray(_rand(2, 16, 16, 320, seed=9), jnp.float32)
-        scale = jnp.asarray(1.0 + 0.1 * _rand(320, seed=10))
-        bias = jnp.asarray(0.1 * _rand(320, seed=11))
-        ref = np.asarray(_group_norm_xla(x, scale, bias, 32))
-        out = np.asarray(group_norm_pallas(x, scale, bias, 32, 1e-5, True))
-        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
-
-    def test_grads_recompute_through_xla(self):
-        """custom_vjp backward == grads of the XLA formulation."""
-        from stableanimator_tpu.ops.norms import (_group_norm_xla,
-                                                  _layer_norm_xla)
-        from stableanimator_tpu.ops.norms_pallas import (group_norm_pallas,
-                                                         layer_norm_pallas)
-
-        x = jnp.asarray(_rand(2, 128, 256, seed=12), jnp.float32)
-        scale = jnp.asarray(1.0 + 0.1 * _rand(256, seed=13))
-        bias = jnp.asarray(0.1 * _rand(256, seed=14))
-
-        def loss_p(x, s, b):
-            return jnp.sum(layer_norm_pallas(x, s, b, 1e-5, True) ** 2)
-
-        def loss_x(x, s, b):
-            return jnp.sum(_layer_norm_xla(x, s, b) ** 2)
-
-        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
-        gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, scale, bias)
-        for a, b_ in zip(gp, gx):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                       rtol=2e-5, atol=2e-5)
-
-        def gloss_p(x, s, b):
-            return jnp.sum(group_norm_pallas(x, s, b, 32, 1e-5, True) ** 2)
-
-        def gloss_x(x, s, b):
-            return jnp.sum(_group_norm_xla(x, s, b, 32) ** 2)
-
-        gp = jax.grad(gloss_p, argnums=(0, 1, 2))(x, scale, bias)
-        gx = jax.grad(gloss_x, argnums=(0, 1, 2))(x, scale, bias)
-        for a, b_ in zip(gp, gx):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                       rtol=2e-5, atol=2e-5)
-
-    def test_dispatch_respects_gate_and_env(self, monkeypatch):
-        from stableanimator_tpu.ops import norms
-        from stableanimator_tpu.ops.gate import block_pallas_kernels
-        from stableanimator_tpu.ops.gate import PALLAS_KERNELS_BLOCKED
-
-        monkeypatch.setenv("SA_PALLAS_NORM", "1")
-        assert norms._use_pallas_norm("ln") and norms._use_pallas_norm("gn")
-        tok = block_pallas_kernels()
-        try:
-            assert not norms._use_pallas_norm("ln")
-            assert not norms._use_pallas_norm("gn")
-        finally:
-            PALLAS_KERNELS_BLOCKED.reset(tok)
-        monkeypatch.setenv("SA_PALLAS_NORM", "0")
-        assert not norms._use_pallas_norm("ln")
-        # single-family modes (compile-path bisection / partial enablement)
-        monkeypatch.setenv("SA_PALLAS_NORM", "ln")
-        assert norms._use_pallas_norm("ln") and not norms._use_pallas_norm("gn")
-        monkeypatch.setenv("SA_PALLAS_NORM", "gn")
-        assert norms._use_pallas_norm("gn") and not norms._use_pallas_norm("ln")
-
-    def test_supported_predicates(self):
-        from stableanimator_tpu.ops.norms_pallas import (gn_supported,
-                                                         ln_supported)
-
-        x = jnp.zeros((2, 4096, 320), jnp.bfloat16)
-        assert gn_supported(x, 32) and ln_supported(x)
-        # VAE-decode-scale slab exceeds the VMEM budget -> XLA path
-        assert not gn_supported(jnp.zeros((1, 512 * 512, 512), jnp.bfloat16), 32)
-        # indivisible groups / tiny channel counts -> XLA path
-        assert not gn_supported(jnp.zeros((2, 64, 48), jnp.bfloat16), 32)
-        assert not ln_supported(jnp.zeros((128, 64), jnp.bfloat16))

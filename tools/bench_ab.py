@@ -6,15 +6,18 @@ clean HBM + honest per-config compile/caching), parses each run's JSON
 line, and writes AB_RESULTS.json plus a comparison table to stderr.
 
 Configurations (each an env-var set on top of the same bench):
-  base          — round-3 default path
-  temporal      — SA_TPU_TEMPORAL_ATTN=1 (Pallas spatial-layout temporal
-                  attention; expected to remove the q/k/v/o transposes and
-                  XLA's padded 16x64x16 batched matmuls)
-  int8          — SA_BENCH_QUANT=1 (XLA W8A8 FF/projections; measured
-                  1.19x at FF shapes in isolation)
-  int8_pallas   — SA_BENCH_QUANT=1 SA_INT8_PALLAS=1 (fused Pallas W8A8:
-                  in-kernel activation quant, xq never touches HBM)
-  all           — temporal + int8_pallas together
+  base          — default path
+  int8          — SA_BENCH_QUANT=1 (XLA W8A8 FF/projections; loses e2e —
+                  kept as the quantization capability's A/B hook)
+
+History: rounds 3-4 also carried opt-in Pallas kernels (temporal
+spatial-layout attention, fused W8A8 matmul/GEGLU, fused LN/GN) and a
+mulsum temporal formulation. The r03 on-chip matrix measured every one a
+LOSER e2e (temporal 0.975x, int8_pallas 0.921x, norms_ln 0.992x, mulsum
+0.987x) and norms=gn never survived the remote-compile size limit
+(re-confirmed r5: HTTP 500 after 68 s). All four were DELETED in r5
+(VERDICT r4 weak #5: win or delete); AB_RESULTS.json preserves the
+measurements.
 
 Usage:
   python tools/bench_ab.py                   # full matrix
@@ -34,28 +37,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # every config pins ALL switches: a stray exported SA_* from manual
 # testing must not contaminate the rows that don't mention it
-_SWITCHES = ("SA_TPU_TEMPORAL_ATTN", "SA_BENCH_QUANT", "SA_INT8_PALLAS",
-             "SA_PALLAS_NORM", "SA_TEMPORAL_MULSUM")
+_SWITCHES = ("SA_BENCH_QUANT",)
 
 
 def _cfg(**on):
     env = {k: "0" for k in _SWITCHES}
-    # value 1/True -> "1"; string values (e.g. SA_PALLAS_NORM="ln") pass
-    # through verbatim
     env.update({k: (v if isinstance(v, str) else "1") for k, v in on.items()})
     return env
 
 
 CONFIGS = {
     "base": _cfg(),
-    "temporal": _cfg(SA_TPU_TEMPORAL_ATTN=1),
     "int8": _cfg(SA_BENCH_QUANT=1),
-    "int8_pallas": _cfg(SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
-    "norms": _cfg(SA_PALLAS_NORM=1),
-    "norms_ln": _cfg(SA_PALLAS_NORM="ln"),
-    "norms_gn": _cfg(SA_PALLAS_NORM="gn"),
-    "mulsum": _cfg(SA_TEMPORAL_MULSUM=1),
-    "all": _cfg(SA_TPU_TEMPORAL_ATTN=1, SA_BENCH_QUANT=1, SA_INT8_PALLAS=1),
 }
 
 

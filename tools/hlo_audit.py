@@ -9,7 +9,6 @@ fusions are the smoking gun for layout problems; convolution/dot counts
 sanity-check what actually reaches the MXU.
 
   python tools/hlo_audit.py [--height 512] [--frames 16] [--quant]
-  python tools/hlo_audit.py --temporal-kernel   # SA_TPU_TEMPORAL_ATTN=1
 
 Caveats (this zero-egress dev box's libtpu, not the tool): the full UNet
 forward takes >30 min to compile locally, and large-spatial block graphs
@@ -39,7 +38,6 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--quant", action="store_true")
-    ap.add_argument("--temporal-kernel", action="store_true")
     ap.add_argument("--dump", type=str, default="",
                     help="also write the full HLO text here")
     ap.add_argument("--top", type=int, default=25)
@@ -49,9 +47,6 @@ def main():
                          "full forward (libtpu takes >30 min locally — use "
                          "only when that budget is acceptable)")
     args = ap.parse_args()
-
-    if args.temporal_kernel:
-        os.environ["SA_TPU_TEMPORAL_ATTN"] = "1"
 
     import jax
 
