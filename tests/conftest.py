@@ -24,7 +24,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the suite is XLA:CPU-compile dominated; repeat
 # runs (developer loop, CI re-runs) hit the cache and skip the big compiles.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+if os.environ.get("SA_TEST_NO_CACHE", "0") in ("0", ""):
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"

@@ -362,7 +362,8 @@ def test_warm_generate_covers_both_paths(tiny_setup):
                           tile_overlap=1, num_inference_steps=2,
                           decode_chunk_size=2)
     info4 = warm_generate(models, params, cfg4, uint8_inputs=False)
-    assert info4 == {"path": "flat", "programs": 1, "executed": False}
+    assert info4 == {"path": "flat", "programs": 1, "executed": False,
+                     "face_opt": False}
     out = generate(models, params, ref_image, pose4, face, cfg4,
                    rng=jax.random.PRNGKey(3))
     assert out.shape == (4, 64, 64, 3)
